@@ -1,0 +1,40 @@
+"""graphsage_tpu — a TPU-native GraphSAGE framework built from scratch in JAX.
+
+Not a port of the PyTorch reference (zjzijielu/graphsage-simple): the reference's
+dict-of-sets adjacency, per-node Python sampling loops and dense mask matmuls
+(reference graphsage/aggregators.py:30-65) are replaced by padded static-shape
+device arrays, vectorized fixed-fanout sampling, and segment/gather aggregation
+kernels (XLA + Pallas), trained by a jit/pjit step over a `jax.sharding.Mesh`.
+
+Top-level re-exports cover the common surface; submodules hold the rest:
+
+  data      — Graph container, Cora/Pubmed loaders, synthetic generators
+  ops       — samplers, aggregators, Pallas kernels
+  models    — GraphSAGE layers + supervised classifier
+  parallel  — mesh / sharding / edge-partitioned distributed aggregation
+  train     — configs, trainer, reference-parity experiment presets
+  utils     — metrics, checkpointing, profiling
+"""
+
+from graphsage_tpu.data.graph import Graph, build_graph
+from graphsage_tpu.data.loaders import load_cora, load_pubmed
+from graphsage_tpu.models.graphsage import GraphSAGE, SAGEParams
+from graphsage_tpu.train.config import ExperimentConfig, ModelConfig, TrainConfig
+from graphsage_tpu.train.trainer import Trainer, TrainState
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Graph",
+    "build_graph",
+    "load_cora",
+    "load_pubmed",
+    "GraphSAGE",
+    "SAGEParams",
+    "ExperimentConfig",
+    "ModelConfig",
+    "TrainConfig",
+    "Trainer",
+    "TrainState",
+    "__version__",
+]

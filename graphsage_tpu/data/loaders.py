@@ -1,0 +1,148 @@
+"""Dataset loaders for the original Cora / Pubmed file formats.
+
+Parsing semantics are pinned to the reference so that features, labels and
+edge sets come out bit-identical (SURVEY.md §4.3 loader-parity requirement):
+
+* Cora (reference graphsage/model.py:39-63): ``cora.content`` rows are
+  ``<paper_id> <1433 x 0/1 feats> <label>``; node index = file line order;
+  label ids assigned by first appearance in file order (quirk Q14);
+  ``cora.cites`` rows ``<cited> <citing>`` become *undirected* edges.
+* Pubmed (reference graphsage/model.py:108-135, quirk Q15): 2 header lines;
+  the second header line maps feature names to columns via the token between
+  the first and second ``:`` of each entry, shifted left by one; node rows are
+  ``<id> label=<1..3> <word=value ...> summary=...`` — label stored as 0..2,
+  the trailing summary field is skipped; the DIRECTED.cites file's direction
+  is discarded (undirected adjacency), endpoints read from the ``paper:<id>``
+  tokens in fields 1 and -1.
+
+Loaders return host numpy; :func:`graphsage_tpu.data.graph.build_graph` turns
+that into the device-resident padded container. A C++ fast path for the hot
+TSV parse lives in ``graphsage_tpu/csrc`` (used when the shared library has
+been built; these numpy parsers are the always-available fallback and the
+semantics oracle).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+import numpy as np
+
+from graphsage_tpu.data.graph import Graph, build_graph
+
+CORA_NUM_NODES = 2708
+CORA_NUM_FEATS = 1433
+CORA_NUM_CLASSES = 7
+PUBMED_NUM_NODES = 19717
+PUBMED_NUM_FEATS = 500
+PUBMED_NUM_CLASSES = 3
+
+
+class RawDataset(NamedTuple):
+    """Host-side parse result, before padding/device placement."""
+
+    features: np.ndarray  # [N, F] float32
+    labels: np.ndarray  # [N] int32
+    edges: np.ndarray  # [E, 2] int64 (directed as read; loaders mirror later)
+    num_classes: int
+
+
+def parse_cora(root: str | os.PathLike) -> RawDataset:
+    """Parse cora.content / cora.cites from ``root``."""
+    root = os.fspath(root)
+    content_path = os.path.join(root, "cora.content")
+    cites_path = os.path.join(root, "cora.cites")
+
+    node_ids: list[str] = []
+    label_names: list[str] = []
+    feat_rows: list[np.ndarray] = []
+    with open(content_path) as f:
+        for line in f:
+            fields = line.split()
+            if not fields:
+                continue
+            node_ids.append(fields[0])
+            feat_rows.append(np.array(fields[1:-1], dtype=np.float32))
+            label_names.append(fields[-1])
+
+    features = np.stack(feat_rows)
+    # Label ids by first appearance in file order (Q14).
+    label_map: dict[str, int] = {}
+    labels = np.empty(len(label_names), dtype=np.int32)
+    for i, name in enumerate(label_names):
+        labels[i] = label_map.setdefault(name, len(label_map))
+
+    node_map = {nid: i for i, nid in enumerate(node_ids)}
+    edge_list: list[tuple[int, int]] = []
+    with open(cites_path) as f:
+        for line in f:
+            fields = line.split()
+            if len(fields) < 2:
+                continue
+            edge_list.append((node_map[fields[0]], node_map[fields[1]]))
+    edges = np.array(edge_list, dtype=np.int64).reshape(-1, 2)
+    return RawDataset(features, labels, edges, len(label_map))
+
+
+def parse_pubmed(root: str | os.PathLike) -> RawDataset:
+    """Parse the Pubmed-Diabetes TSV pair from ``root`` (Q15 semantics)."""
+    root = os.fspath(root)
+    node_path = os.path.join(root, "Pubmed-Diabetes.NODE.paper.tab")
+    cite_path = os.path.join(root, "Pubmed-Diabetes.DIRECTED.cites.tab")
+
+    with open(node_path) as f:
+        f.readline()  # banner line
+        header = f.readline().rstrip("\n").split("\t")
+        # Entry j like "numeric:w-word:0.0" names the feature stored at column
+        # j-1 (the reference builds {name: j-1}; entry 0 is the label field and
+        # lands at a throwaway index).
+        feat_col = {entry.split(":")[1]: j - 1 for j, entry in enumerate(header)}
+
+        body = f.read().splitlines()
+
+    num_nodes = len(body)
+    num_feats = len(feat_col) - 1  # minus the label pseudo-entry
+    features = np.zeros((num_nodes, num_feats), dtype=np.float32)
+    labels = np.empty(num_nodes, dtype=np.int32)
+    node_map: dict[str, int] = {}
+    for i, line in enumerate(body):
+        fields = line.split("\t")
+        node_map[fields[0]] = i
+        labels[i] = int(fields[1].split("=")[1]) - 1  # 1..3 -> 0..2
+        # fields[2:-1]: word=value pairs; the final field is the summary (skipped).
+        for tok in fields[2:-1]:
+            name, _, val = tok.partition("=")
+            features[i, feat_col[name]] = float(val)
+
+    edge_list: list[tuple[int, int]] = []
+    with open(cite_path) as f:
+        f.readline()
+        f.readline()
+        for line in f:
+            fields = line.strip().split("\t")
+            if len(fields) < 2:
+                continue
+            a = node_map[fields[1].split(":")[1]]
+            b = node_map[fields[-1].split(":")[1]]
+            edge_list.append((a, b))
+    edges = np.array(edge_list, dtype=np.int64).reshape(-1, 2)
+    return RawDataset(features, labels, edges, int(labels.max()) + 1)
+
+
+def load_cora(root: str | os.PathLike = "cora", **build_kwargs) -> Graph:
+    """Load Cora into a device :class:`Graph` (undirected, Q14-compatible)."""
+    raw = parse_cora(root)
+    return build_graph(
+        raw.features, raw.labels, raw.edges, num_classes=raw.num_classes,
+        undirected=True, **build_kwargs,
+    )
+
+
+def load_pubmed(root: str | os.PathLike = "pubmed-data", **build_kwargs) -> Graph:
+    """Load Pubmed into a device :class:`Graph` (undirected, Q15-compatible)."""
+    raw = parse_pubmed(root)
+    return build_graph(
+        raw.features, raw.labels, raw.edges, num_classes=raw.num_classes,
+        undirected=True, **build_kwargs,
+    )

@@ -1,0 +1,237 @@
+"""Multi-layer supervised GraphSAGE with explicit per-hop frontiers.
+
+The reference stacks layers by *closure recursion*: layer 2's feature function
+is a lambda that re-runs the whole layer-1 encoder on the sampled frontier
+(reference graphsage/model.py:74-78, SURVEY.md Q11). Here the recursion is
+unrolled into explicit static-shape stages:
+
+  1. ``sample``  — build hop frontiers seeds -> hop1 -> ... -> hopL with the
+     vectorized fixed-fanout sampler. Frontiers are flat ``[B * prod(k)]``
+     arrays; no deduplication (recompute-tolerant gather — the measured design
+     choice from SURVEY.md §2.3: dedup would force dynamic shapes).
+  2. ``forward`` — gather raw features at the deepest hop, then fold layers
+     inward: reshape to ``[parents, k, d]``, masked-aggregate, project, ReLU.
+     Layer ``0`` corresponds to the reference's ``enc1``.
+  3. a linear classification head (reference SupervisedGraphSage,
+     model.py:20-37) and softmax cross-entropy.
+
+Hop ``h`` is built with the fanout of layer ``L-h`` (0-based): the top layer's
+fanout governs the first expansion — matching the reference where
+``enc2.num_sample`` applies to the batch nodes and ``enc1.num_sample`` to the
+hop-2 frontier.
+
+When ``concat_self=True`` each frontier row carries the parent node in
+column 0, so the previous layer's activation of *self* is available without a
+second pass; in the reference's shipped pure-mean mode (quirk Q2) the column
+is omitted.
+
+``forward_full_graph`` runs the same layers over *all* nodes with full
+neighborhoods via CSR segment-mean — the deterministic whole-graph inference
+path (and the unit of work the edge-partitioned distributed mode shards).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from graphsage_tpu.data.graph import Graph
+from graphsage_tpu.models.layers import (
+    SAGELayerParams,
+    apply_sage_layer,
+    init_sage_layer,
+)
+from graphsage_tpu.ops.aggregate import gather, spmm_mean
+from graphsage_tpu.ops.sampling import sample_neighbors
+
+
+class Frontier(NamedTuple):
+    """Flattened hop frontiers. ``ids[0]`` is the seed batch; ``ids[h]`` has
+    ``ids[h-1].size * k_h`` entries (``k_h + 1`` with a self column)."""
+
+    ids: tuple[jax.Array, ...]
+    masks: tuple[jax.Array, ...]
+
+    @property
+    def num_hops(self) -> int:
+        return len(self.ids) - 1
+
+    def sampled_edges(self) -> int:
+        """Static count of sampled-edge slots (the benchmark denominator)."""
+        return sum(int(m.size) for m in self.masks[1:])
+
+
+@struct.dataclass
+class SAGEParams:
+    layers: tuple[SAGELayerParams, ...]
+    head: jax.Array  # [hidden[-1], num_classes]
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphSAGE:
+    """Static model description; parameters travel separately as a pytree."""
+
+    in_dim: int
+    num_classes: int
+    hidden_dims: Sequence[int] = (128, 128)
+    fanouts: Sequence[int | None] = (10, 10)  # per layer; layer 0 = input-closest
+    aggregator: str = "mean"  # "mean" | "maxpool"
+    concat_self: bool = False  # False = reference shipped mode (Q2)
+    pool_dim: int | None = None
+    compute_dtype: jnp.dtype | None = None  # e.g. jnp.bfloat16 for MXU
+    param_dtype: jnp.dtype = jnp.float32
+    # None = platform default (bf16 inputs on TPU); "highest" = full f32,
+    # required for allclose parity against the reference (SURVEY.md §4.1).
+    matmul_precision: str | None = None
+
+    def __post_init__(self):
+        if len(self.hidden_dims) != len(self.fanouts):
+            raise ValueError("hidden_dims and fanouts must have one entry per layer")
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.hidden_dims)
+
+    # ---------------------------------------------------------------- init
+    def init(self, key: jax.Array) -> SAGEParams:
+        keys = jax.random.split(key, self.num_layers + 1)
+        layers = []
+        d_in = self.in_dim
+        for l, d_out in enumerate(self.hidden_dims):
+            layers.append(
+                init_sage_layer(
+                    keys[l],
+                    d_in,
+                    d_out,
+                    aggregator=self.aggregator,
+                    concat_self=self.concat_self,
+                    pool_dim=self.pool_dim,
+                    param_dtype=self.param_dtype,
+                )
+            )
+            d_in = d_out
+        glorot = jax.nn.initializers.glorot_uniform()
+        head = glorot(keys[-1], (d_in, self.num_classes), self.param_dtype)
+        return SAGEParams(layers=tuple(layers), head=head)
+
+    # -------------------------------------------------------------- sample
+    def sample(self, key: jax.Array, graph: Graph, seeds: jax.Array) -> Frontier:
+        """Expand seed nodes into per-hop frontiers (static shapes)."""
+        seeds = seeds.reshape(-1)
+        ids: list[jax.Array] = [seeds]
+        masks: list[jax.Array] = [jnp.ones(seeds.shape, dtype=bool)]
+        L = self.num_layers
+        hop_keys = jax.random.split(key, L)
+        for h in range(1, L + 1):
+            fanout = self.fanouts[L - h]
+            parent_ids, parent_mask = ids[-1], masks[-1]
+            nids, nmask = sample_neighbors(
+                hop_keys[h - 1], graph.neighbors, graph.degrees, parent_ids, fanout
+            )
+            nmask = nmask & parent_mask[:, None]
+            if self.concat_self:
+                nids = jnp.concatenate([parent_ids[:, None], nids], axis=1)
+                nmask = jnp.concatenate([parent_mask[:, None], nmask], axis=1)
+            ids.append(nids.reshape(-1))
+            masks.append(nmask.reshape(-1))
+        return Frontier(ids=tuple(ids), masks=tuple(masks))
+
+    # ------------------------------------------------------------- forward
+    def forward(
+        self, params: SAGEParams, features: jax.Array, frontier: Frontier
+    ) -> jax.Array:
+        """Logits ``[B, num_classes]`` for the frontier's seed batch."""
+        L = self.num_layers
+        h = gather(features, frontier.ids[L])
+        if self.compute_dtype is not None:
+            h = h.astype(self.compute_dtype)
+        for l in range(L):
+            hop_in = L - l  # activations currently live at this hop
+            n_out = frontier.ids[hop_in - 1].shape[0]
+            k_cols = frontier.ids[hop_in].shape[0] // n_out
+            h3 = h.reshape(n_out, k_cols, h.shape[-1])
+            m3 = frontier.masks[hop_in].reshape(n_out, k_cols)
+            if self.concat_self:
+                self_h, neigh, nm = h3[:, 0], h3[:, 1:], m3[:, 1:]
+            else:
+                self_h, neigh, nm = None, h3, m3
+            h = apply_sage_layer(
+                params.layers[l],
+                self_h,
+                neigh,
+                nm,
+                aggregator=self.aggregator,
+                concat_self=self.concat_self,
+                compute_dtype=self.compute_dtype,
+                precision=self.matmul_precision,
+            )
+        logits = jnp.einsum(
+            "bd,dc->bc", h, params.head.astype(h.dtype),
+            preferred_element_type=jnp.float32, precision=self.matmul_precision,
+        )
+        return logits.astype(jnp.float32)
+
+    def apply(
+        self, params: SAGEParams, key: jax.Array, graph: Graph, seeds: jax.Array
+    ) -> jax.Array:
+        """sample + forward in one call (training/eval hot path)."""
+        frontier = self.sample(key, graph, seeds)
+        return self.forward(params, graph.features, frontier)
+
+    # --------------------------------------------------------- full graph
+    def forward_full_graph(self, params: SAGEParams, graph: Graph) -> jax.Array:
+        """Deterministic logits for every node, using complete neighborhoods.
+
+        Equivalent to the reference with ``num_sample=None`` (quirk Q7) run on
+        all nodes — the basis of the numerical-parity tests and of the
+        edge-partitioned distributed mode.
+        """
+        h = graph.features
+        if self.compute_dtype is not None:
+            h = h.astype(self.compute_dtype)
+        for l in range(self.num_layers):
+            neigh_mean = spmm_mean(
+                h, graph.edge_src, graph.edge_dst, graph.edge_mask, graph.num_nodes
+            )
+            if self.aggregator != "mean":
+                raise NotImplementedError(
+                    "full-graph path currently supports the mean aggregator"
+                )
+            self_h = h if self.concat_self else None
+            p = params.layers[l]
+            w = p.weight.astype(h.dtype)
+            combined = (
+                jnp.concatenate([self_h, neigh_mean], axis=-1)
+                if self.concat_self
+                else neigh_mean
+            )
+            h = jax.nn.relu(
+                jnp.einsum(
+                    "ni,io->no", combined, w,
+                    preferred_element_type=jnp.float32, precision=self.matmul_precision,
+                )
+            ).astype(h.dtype)
+        logits = jnp.einsum(
+            "nd,dc->nc", h, params.head.astype(h.dtype),
+            preferred_element_type=jnp.float32, precision=self.matmul_precision,
+        )
+        return logits.astype(jnp.float32)
+
+    # ----------------------------------------------------------------- loss
+    def loss(
+        self,
+        params: SAGEParams,
+        features: jax.Array,
+        frontier: Frontier,
+        labels: jax.Array,
+    ) -> jax.Array:
+        """Mean softmax cross-entropy (reference model.py:35-37)."""
+        logits = self.forward(params, features, frontier)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels.reshape(-1)
+        ).mean()

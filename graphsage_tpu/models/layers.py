@@ -1,0 +1,130 @@
+"""One GraphSAGE layer: aggregate sampled neighbors, project, activate.
+
+Functionally equivalent to the reference Encoder + MeanAggregator pair
+(reference graphsage/encoders.py:33-50, aggregators.py:30-65) but expressed as
+a pure function over a params pytree and static-shape tensors, so XLA fuses
+the aggregate->concat->matmul->ReLU chain into a couple of MXU/VPU ops.
+
+Two aggregators (SURVEY.md §7.1 capability contract):
+
+* ``mean``     — masked neighbor mean (reference MeanAggregator).
+* ``maxpool``  — per-neighbor MLP then masked max (GraphSAGE-pool; exercises
+  the SDDMM-style per-edge compute from BASELINE.json config #3).
+
+Two combine modes:
+
+* ``concat_self=False`` — the reference's *shipped* mode (quirk Q2,
+  ``Encoder(gcn=True)``): ``h = act(W @ mean(neigh))`` with **no** self term.
+* ``concat_self=True``  — true GraphSAGE: ``h = act(W @ [self ; agg(neigh)])``.
+
+Weights are stored ``[in, out]`` (JAX row-vector convention). The reference
+stores ``[out, in]`` and left-multiplies (encoders.py:49); the parity harness
+transposes on import.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from graphsage_tpu.ops.aggregate import masked_max, masked_mean
+
+
+@struct.dataclass
+class SAGELayerParams:
+    weight: jax.Array  # [combined_in, out]
+    pool_weight: Optional[jax.Array] = None  # [in, pool_dim] (maxpool only)
+    pool_bias: Optional[jax.Array] = None  # [pool_dim]
+
+
+def combined_input_dim(in_dim: int, pool_dim: int | None, aggregator: str, concat_self: bool) -> int:
+    agg_dim = in_dim if aggregator == "mean" else (pool_dim or in_dim)
+    return agg_dim + (in_dim if concat_self else 0)
+
+
+def init_sage_layer(
+    key: jax.Array,
+    in_dim: int,
+    out_dim: int,
+    aggregator: str = "mean",
+    concat_self: bool = False,
+    pool_dim: int | None = None,
+    param_dtype: jnp.dtype = jnp.float32,
+) -> SAGELayerParams:
+    """Xavier/glorot-uniform init, matching the reference's
+    ``init.xavier_uniform_`` (encoders.py:31)."""
+    if aggregator not in ("mean", "maxpool"):
+        raise ValueError(f"unknown aggregator {aggregator!r}")
+    k_w, k_p = jax.random.split(key)
+    cin = combined_input_dim(in_dim, pool_dim, aggregator, concat_self)
+    glorot = jax.nn.initializers.glorot_uniform()
+    weight = glorot(k_w, (cin, out_dim), param_dtype)
+    pool_weight = pool_bias = None
+    if aggregator == "maxpool":
+        pdim = pool_dim or in_dim
+        pool_weight = glorot(k_p, (in_dim, pdim), param_dtype)
+        pool_bias = jnp.zeros((pdim,), param_dtype)
+    return SAGELayerParams(weight=weight, pool_weight=pool_weight, pool_bias=pool_bias)
+
+
+def apply_sage_layer(
+    params: SAGELayerParams,
+    self_feats: jax.Array | None,  # [..., in_dim] or None when concat_self=False
+    neigh_feats: jax.Array,  # [..., k, in_dim]
+    neigh_mask: jax.Array,  # [..., k]
+    aggregator: str = "mean",
+    concat_self: bool = False,
+    activation: Callable[[jax.Array], jax.Array] | None = jax.nn.relu,
+    compute_dtype: jnp.dtype | None = None,
+    precision: jax.lax.Precision | str | None = None,
+) -> jax.Array:
+    """Apply one layer. Returns ``[..., out_dim]``.
+
+    ``compute_dtype=jnp.bfloat16`` runs the matmuls on the MXU in bf16 with
+    fp32 accumulation; params and the returned activations stay in the params
+    dtype for stable training. ``precision="highest"`` forces full-f32 MXU
+    passes (TPU matmuls default to bf16 inputs) — used by parity tests.
+    """
+    w = params.weight
+    out_dtype = w.dtype
+    if compute_dtype is not None:
+        neigh_feats = neigh_feats.astype(compute_dtype)
+        if self_feats is not None:
+            self_feats = self_feats.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+
+    if aggregator == "mean":
+        agg = masked_mean(neigh_feats, neigh_mask)
+    else:  # maxpool: per-neighbor MLP, then masked max
+        pw = params.pool_weight
+        pb = params.pool_bias
+        if compute_dtype is not None:
+            pw = pw.astype(compute_dtype)
+            pb = pb.astype(compute_dtype)
+        hidden = jax.nn.relu(
+            jnp.einsum(
+                "...ki,io->...ko", neigh_feats, pw,
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            + pb
+        ).astype(neigh_feats.dtype)
+        agg = masked_max(hidden, neigh_mask)
+
+    if concat_self:
+        if self_feats is None:
+            raise ValueError("concat_self=True requires self_feats")
+        combined = jnp.concatenate([self_feats, agg], axis=-1)
+    else:
+        combined = agg
+
+    out = jnp.einsum(
+        "...i,io->...o", combined, w,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    out = out.astype(out_dtype)
+    if activation is not None:
+        out = activation(out)
+    return out

@@ -1,0 +1,85 @@
+"""Aggregation primitives: masked mean / max and full-graph segment ops.
+
+The reference aggregates by materializing a dense row-normalized 0/1 mask and
+multiplying it with a gathered feature matrix (reference
+graphsage/aggregators.py:50-64). Here aggregation is expressed directly as
+masked reductions over static-shape gathered neighborhoods (minibatch path)
+or as edge-segment sums over CSR/COO (full-graph path) — both forms XLA maps
+straight onto TPU gathers + VPU reductions, with a Pallas fused kernel
+(:mod:`graphsage_tpu.ops.pallas_gather`) available for the hot gather-mean.
+
+Denominator semantics follow the reference (quirk Q8): the mean divides by the
+number of *valid* sampled neighbors, ``min(degree, fanout)``, never by the
+fanout. Zero-valid rows divide by 1 and yield zeros (guarded mean — quirk Q4
+divergence, documented in sampling.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gather(features: jax.Array, ids: jax.Array) -> jax.Array:
+    """Feature-store lookup: ``features[N, F]`` indexed by ``ids[...]``.
+
+    The TPU-native stand-in for the reference's frozen ``nn.Embedding``
+    (reference graphsage/model.py:70-71): one device gather, differentiable,
+    shardable along either axis.
+    """
+    return jnp.take(features, ids, axis=0)
+
+
+def masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
+    """Mean of ``x[..., k, F]`` over axis -2, counting only ``mask[..., k]``.
+
+    Guarded: rows with zero valid entries return 0 rather than NaN.
+    """
+    m = mask.astype(x.dtype)[..., None]
+    total = jnp.sum(x * m, axis=-2)
+    count = jnp.sum(m, axis=-2)
+    return total / jnp.maximum(count, 1.0)
+
+
+def masked_max(x: jax.Array, mask: jax.Array) -> jax.Array:
+    """Max of ``x[..., k, F]`` over axis -2 under ``mask``; 0 where all-masked.
+
+    The reduction behind the max-pooling aggregator (GraphSAGE-pool).
+    """
+    neg = jnp.finfo(x.dtype).min
+    masked = jnp.where(mask[..., None], x, neg)
+    out = jnp.max(masked, axis=-2)
+    any_valid = jnp.any(mask, axis=-1, keepdims=True)
+    return jnp.where(any_valid, out, jnp.zeros_like(out))
+
+
+def segment_mean_csr(
+    values: jax.Array,
+    edge_src: jax.Array,
+    edge_mask: jax.Array,
+    num_nodes: int,
+) -> jax.Array:
+    """Per-destination mean of per-edge ``values[E_pad, F]`` grouped by
+    ``edge_src`` (COO rows). Padding edges (``edge_mask=False``) contribute 0.
+    """
+    w = edge_mask.astype(values.dtype)
+    summed = jax.ops.segment_sum(values * w[:, None], edge_src, num_segments=num_nodes)
+    counts = jax.ops.segment_sum(w, edge_src, num_segments=num_nodes)
+    return summed / jnp.maximum(counts, 1.0)[:, None]
+
+
+def spmm_mean(
+    features: jax.Array,
+    edge_src: jax.Array,
+    edge_dst: jax.Array,
+    edge_mask: jax.Array,
+    num_nodes: int,
+) -> jax.Array:
+    """Full-graph mean aggregation: ``out[v] = mean_{(v,u) in E} features[u]``.
+
+    The row-normalized SpMM ``D^-1 A X`` expressed as gather + segment-sum
+    over the COO edge list — the XLA path; the Pallas CSR kernel in
+    :mod:`graphsage_tpu.ops.pallas_spmm` is the tuned alternative.
+    """
+    per_edge = jnp.take(features, edge_dst, axis=0)
+    return segment_mean_csr(per_edge, edge_src, edge_mask, num_nodes)

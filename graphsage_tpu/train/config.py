@@ -1,0 +1,114 @@
+"""Experiment configuration.
+
+The reference hardcodes every hyperparameter inside ``run_cora``/``run_pubmed``
+(reference graphsage/model.py:65-106,137-178; SURVEY.md §5.6). Here the same
+knobs are explicit dataclasses, JSON round-trippable, with presets for each
+BASELINE.json config. Fanouts are *real* configuration — the reference's dead
+``num_samples`` attribute (quirk Q1) is fixed by design; the presets record
+both the reference's shipped behavior (fanout 10/10) and its intent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    hidden_dims: Sequence[int] = (128, 128)
+    fanouts: Sequence[Optional[int]] = (10, 10)
+    aggregator: str = "mean"  # "mean" | "maxpool"
+    concat_self: bool = False  # False = reference shipped mode (quirk Q2)
+    pool_dim: Optional[int] = None
+    compute_dtype: Optional[str] = None  # None | "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 256
+    num_steps: int = 100
+    learning_rate: float = 0.7  # reference model.py:89
+    seed: int = 1
+    # Split sizes follow the reference: first `test_size` of a seeded
+    # permutation are test (computed but unused there — quirk Q6), next
+    # `val_size` validation, the rest training (model.py:84-87).
+    test_size: int = 1000
+    val_size: int = 500
+    # "reference": next batch = head of the previous shuffle (quirk Q5).
+    # "epoch": sane shuffled-epoch iteration (default for new work).
+    batching: str = "epoch"
+    eval_fanouts: Optional[Sequence[Optional[int]]] = None  # None = no sampling at eval
+    log_every: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str
+    dataset: str  # "cora" | "pubmed" | "powerlaw" | path handled by caller
+    model: ModelConfig = ModelConfig()
+    train: TrainConfig = TrainConfig()
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "ExperimentConfig":
+        raw = json.loads(text)
+        return ExperimentConfig(
+            name=raw["name"],
+            dataset=raw["dataset"],
+            model=ModelConfig(**{**raw.get("model", {}),
+                                 "hidden_dims": tuple(raw.get("model", {}).get("hidden_dims", (128, 128))),
+                                 "fanouts": tuple(raw.get("model", {}).get("fanouts", (10, 10)))}),
+            train=TrainConfig(**raw.get("train", {})),
+        )
+
+
+# BASELINE.json configs as presets.
+PRESETS: dict[str, ExperimentConfig] = {
+    # Reference run_cora shipped behavior: 2-layer mean, effective fanout
+    # 10/10 (quirk Q1), hidden 128, 7 classes, 100x256 steps, SGD lr 0.7.
+    "cora": ExperimentConfig(
+        name="cora",
+        dataset="cora",
+        model=ModelConfig(hidden_dims=(128, 128), fanouts=(10, 10)),
+        train=TrainConfig(batch_size=256, num_steps=100),
+    ),
+    # Reference intent (the dead attribute's values): fanouts 5/5.
+    "cora_intent": ExperimentConfig(
+        name="cora_intent",
+        dataset="cora",
+        model=ModelConfig(hidden_dims=(128, 128), fanouts=(5, 5)),
+        train=TrainConfig(batch_size=256, num_steps=100),
+    ),
+    # Reference run_pubmed: 200x1024 steps; intended fanouts 10/25.
+    "pubmed": ExperimentConfig(
+        name="pubmed",
+        dataset="pubmed",
+        model=ModelConfig(hidden_dims=(128, 128), fanouts=(10, 25)),
+        train=TrainConfig(batch_size=1024, num_steps=200),
+    ),
+    # BASELINE config #3: pooling aggregator on Cora.
+    "cora_pool": ExperimentConfig(
+        name="cora_pool",
+        dataset="cora",
+        model=ModelConfig(
+            hidden_dims=(128, 128), fanouts=(10, 10), aggregator="maxpool",
+            pool_dim=128, concat_self=True,
+        ),
+        train=TrainConfig(batch_size=256, num_steps=100, learning_rate=0.1),
+    ),
+    # BASELINE config #4: synthetic power-law scaling run (3-layer mean).
+    "powerlaw": ExperimentConfig(
+        name="powerlaw",
+        dataset="powerlaw",
+        model=ModelConfig(
+            hidden_dims=(256, 256, 256), fanouts=(5, 10, 15),
+            compute_dtype="bfloat16",
+        ),
+        train=TrainConfig(batch_size=4096, num_steps=50, learning_rate=0.1,
+                          eval_fanouts=(5, 10, 15)),
+    ),
+}

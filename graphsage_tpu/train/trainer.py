@@ -1,0 +1,212 @@
+"""Training loop: a jit-compiled train step around the sampled forward pass.
+
+The reference trains with a Python loop calling ``loss.backward()`` +
+``optim.SGD`` per 256-node batch (reference graphsage/model.py:89-103). Here
+the entire step — sample, gather, aggregate, project, loss, gradients, SGD
+update — is one traced/compiled XLA program; the Python loop only feeds seed
+ids and logs.
+
+Batching modes (TrainConfig.batching):
+
+* ``"epoch"``     — shuffled epochs over the train split (sane default).
+* ``"reference"`` — replicates the reference's odd scheme (quirk Q5): each
+  batch is the head of the *previous* iteration's shuffle.
+
+Splits replicate the reference exactly: a ``RandomState(seed)`` permutation,
+first 1000 test (computed but never evaluated there — quirk Q6), next 500
+validation, remainder train (model.py:84-87).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random as _pyrandom
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from graphsage_tpu.data.graph import Graph
+from graphsage_tpu.models.graphsage import GraphSAGE, SAGEParams
+from graphsage_tpu.train.config import TrainConfig
+from graphsage_tpu.utils.metrics import macro_f1, micro_f1
+
+
+@struct.dataclass
+class TrainState:
+    params: SAGEParams
+    opt_state: Any
+    key: jax.Array
+    step: jax.Array  # int32 scalar
+
+
+def reference_splits(
+    num_nodes: int, seed: int = 1, test_size: int = 1000, val_size: int = 500
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(test, val, train) node-id arrays, matching reference model.py:84-87."""
+    perm = np.random.RandomState(seed).permutation(num_nodes)
+    return (
+        perm[:test_size],
+        perm[test_size : test_size + val_size],
+        perm[test_size + val_size :],
+    )
+
+
+class Trainer:
+    """Owns the jitted step + host-side batch feeding for one experiment."""
+
+    def __init__(self, model: GraphSAGE, graph: Graph, config: TrainConfig):
+        self.model = model
+        self.graph = graph
+        self.cfg = config
+        self.tx = optax.sgd(config.learning_rate)
+        self.test_nodes, self.val_nodes, self.train_nodes = reference_splits(
+            graph.num_nodes, config.seed, config.test_size, config.val_size
+        )
+        self._jit_step = jax.jit(self._train_step, donate_argnums=(0,))
+        self._jit_full_logits = jax.jit(
+            lambda params, graph: self.model.forward_full_graph(params, graph)
+        )
+        self._eval_model: Optional[GraphSAGE] = None
+        self._jit_eval_logits = None
+
+    # ------------------------------------------------------------------ state
+    def init_state(self) -> TrainState:
+        key = jax.random.PRNGKey(self.cfg.seed)
+        key, init_key = jax.random.split(key)
+        params = self.model.init(init_key)
+        return TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            key=key,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------- step
+    def _train_step(
+        self, state: TrainState, graph: Graph, seeds: jax.Array
+    ) -> tuple[TrainState, jax.Array]:
+        next_key, sample_key = jax.random.split(state.key)
+
+        def loss_fn(params: SAGEParams) -> jax.Array:
+            frontier = self.model.sample(sample_key, graph, seeds)
+            labels = jnp.take(graph.labels, seeds, axis=0)
+            return self.model.loss(params, graph.features, frontier, labels)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, key=next_key, step=state.step + 1
+        )
+        return new_state, loss
+
+    def step(self, state: TrainState, seeds: np.ndarray) -> tuple[TrainState, float]:
+        seeds = jnp.asarray(seeds, dtype=jnp.int32)
+        state, loss = self._jit_step(state, self.graph, seeds)
+        return state, loss
+
+    # ------------------------------------------------------------------ batches
+    def batches(self):
+        """Yield seed-id arrays of static ``batch_size`` indefinitely."""
+        cfg = self.cfg
+        train = np.asarray(self.train_nodes).copy()
+        if cfg.batching == "reference":
+            rng = _pyrandom.Random(cfg.seed)
+            pool = list(train)
+            while True:
+                yield np.asarray(pool[: cfg.batch_size], dtype=np.int32)
+                rng.shuffle(pool)
+        elif cfg.batching == "epoch":
+            rng = np.random.default_rng(cfg.seed)
+            while True:
+                rng.shuffle(train)
+                # wrap around so every batch keeps the static size
+                padded = np.concatenate([train, train[: cfg.batch_size]])
+                for i in range(0, len(train), cfg.batch_size):
+                    yield padded[i : i + cfg.batch_size].astype(np.int32)
+        else:
+            raise ValueError(f"unknown batching mode {self.cfg.batching!r}")
+
+    # -------------------------------------------------------------------- eval
+    def predict(self, state: TrainState, nodes: np.ndarray) -> np.ndarray:
+        """Class predictions for ``nodes``.
+
+        Mean aggregator: deterministic full-graph forward (complete
+        neighborhoods — the reference's ``num_sample=None`` semantics, Q7).
+        Otherwise: sampled forward with ``eval_fanouts``.
+        """
+        nodes = np.asarray(nodes)
+        if self.model.aggregator == "mean" and self.cfg.eval_fanouts is None:
+            logits = self._jit_full_logits(state.params, self.graph)
+            return np.asarray(jnp.argmax(logits, axis=-1))[nodes]
+        if self._eval_model is None:
+            fanouts = self.cfg.eval_fanouts or self.model.fanouts
+            self._eval_model = dataclasses.replace(self.model, fanouts=tuple(fanouts))
+            self._jit_eval_logits = jax.jit(
+                lambda params, key, graph, seeds: self._eval_model.apply(
+                    params, key, graph, seeds
+                )
+            )
+        logits = self._jit_eval_logits(
+            state.params,
+            jax.random.PRNGKey(self.cfg.seed + 7),
+            self.graph,
+            jnp.asarray(nodes, jnp.int32),
+        )
+        return np.asarray(jnp.argmax(logits, axis=-1))
+
+    def evaluate(self, state: TrainState, nodes: np.ndarray) -> dict[str, float]:
+        nodes = np.asarray(nodes)
+        preds = self.predict(state, nodes)
+        truth = np.asarray(self.graph.labels)[nodes]
+        return {
+            "micro_f1": micro_f1(truth, preds),
+            "macro_f1": macro_f1(truth, preds, self.graph.num_classes),
+        }
+
+    # --------------------------------------------------------------------- run
+    def run(
+        self, log: Callable[[str], None] | None = print
+    ) -> dict[str, Any]:
+        """Train for ``num_steps`` batches; return losses, timings and val F1.
+
+        Mirrors the reference driver's observable behavior: per-step loss
+        lines, then validation micro-F1 and mean step time
+        (reference model.py:100-106).
+        """
+        cfg = self.cfg
+        state = self.init_state()
+        batch_iter = self.batches()
+
+        # Warm-up compile outside the timed region (first call traces).
+        losses: list[float] = []
+        times: list[float] = []
+        for i in range(cfg.num_steps):
+            seeds = next(batch_iter)
+            t0 = time.perf_counter()
+            state, loss = self.step(state, seeds)
+            loss = float(loss)  # blocks until the step finishes
+            times.append(time.perf_counter() - t0)
+            losses.append(loss)
+            if log and cfg.log_every and i % cfg.log_every == 0:
+                log(f"{i} {loss}")
+
+        val = self.evaluate(state, self.val_nodes)
+        # Skip the compile step when reporting mean time.
+        steady = times[1:] if len(times) > 1 else times
+        result = {
+            "losses": losses,
+            "val_micro_f1": val["micro_f1"],
+            "val_macro_f1": val["macro_f1"],
+            "mean_step_time": float(np.mean(steady)),
+            "state": state,
+        }
+        if log:
+            log(f"Validation F1: {val['micro_f1']}")
+            log(f"Average batch time: {result['mean_step_time']}")
+        return result

@@ -1,0 +1,99 @@
+"""Sampler semantics (SURVEY.md §4.2, quirks Q7/Q8/Q4): without replacement,
+exactly min(degree, fanout) valid entries, uniform marginals, zero-degree
+fully masked, deterministic full-neighborhood mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphsage_tpu.ops.sampling import full_neighbors, sample_neighbors
+
+
+def _sample_np(g, key, nodes, fanout):
+    ids, mask = sample_neighbors(
+        key, g.neighbors, g.degrees, jnp.asarray(nodes, jnp.int32), fanout
+    )
+    return np.asarray(ids), np.asarray(mask)
+
+
+def test_without_replacement_and_count(tiny_graph):
+    g = tiny_graph
+    nodes = np.arange(g.num_nodes)
+    degrees = np.asarray(g.degrees)
+    for fanout in (1, 2, 3, 5):
+        ids, mask = _sample_np(g, jax.random.PRNGKey(0), nodes, fanout)
+        assert ids.shape == (g.num_nodes, fanout)
+        for v in range(g.num_nodes):
+            valid = ids[v][mask[v]]
+            assert len(valid) == min(degrees[v], fanout)
+            assert len(set(valid.tolist())) == len(valid)  # no duplicates
+
+
+def test_sampled_ids_are_real_neighbors(tiny_graph):
+    g = tiny_graph
+    neighbors = np.asarray(g.neighbors)
+    degrees = np.asarray(g.degrees)
+    for s in range(5):
+        ids, mask = _sample_np(g, jax.random.PRNGKey(s), np.arange(g.num_nodes), 2)
+        for v in range(g.num_nodes):
+            true_set = set(neighbors[v, : degrees[v]].tolist())
+            assert set(ids[v][mask[v]].tolist()) <= true_set
+
+
+def test_zero_degree_fully_masked(tiny_graph):
+    ids, mask = _sample_np(tiny_graph, jax.random.PRNGKey(3), np.array([5]), 4)
+    assert not mask.any()
+
+
+def test_full_neighbors_deterministic(tiny_graph):
+    g = tiny_graph
+    ids, mask = full_neighbors(g.neighbors, g.degrees, jnp.arange(g.num_nodes))
+    degrees = np.asarray(g.degrees)
+    mask = np.asarray(mask)
+    for v in range(g.num_nodes):
+        assert mask[v].sum() == degrees[v]
+    # fanout=None routes to the same path
+    ids2, mask2 = sample_neighbors(
+        jax.random.PRNGKey(0), g.neighbors, g.degrees, jnp.arange(g.num_nodes), None
+    )
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids2))
+    np.testing.assert_array_equal(mask, np.asarray(mask2))
+
+
+def test_fanout_wider_than_max_degree(tiny_graph):
+    g = tiny_graph
+    fanout = g.max_degree + 5
+    ids, mask = _sample_np(g, jax.random.PRNGKey(0), np.arange(g.num_nodes), fanout)
+    assert ids.shape[1] == fanout
+    degrees = np.asarray(g.degrees)
+    for v in range(g.num_nodes):
+        assert mask[v].sum() == degrees[v]
+
+
+def test_uniform_marginals():
+    """Chi-square style check: sampling 2 of 8 neighbors many times gives each
+    neighbor marginal probability ~= 1/4."""
+    from graphsage_tpu.data.graph import build_graph
+
+    edges = np.array([[0, i] for i in range(1, 9)])
+    g = build_graph(np.zeros((9, 2), np.float32), np.zeros(9), edges, num_classes=1)
+    draws = 4000
+    keys = jax.random.split(jax.random.PRNGKey(42), draws)
+    nodes = jnp.zeros((1,), jnp.int32)
+    sample = jax.jit(
+        lambda k: sample_neighbors(k, g.neighbors, g.degrees, nodes, 2)[0]
+    )
+    counts = np.zeros(9)
+    all_ids = np.asarray(jax.vmap(sample)(keys)).reshape(-1)
+    for i in all_ids:
+        counts[i] += 1
+    probs = counts[1:] / draws
+    np.testing.assert_allclose(probs, 0.25, atol=0.03)
+
+
+def test_multi_dim_nodes(tiny_graph):
+    g = tiny_graph
+    nodes = jnp.array([[0, 1], [2, 3]], jnp.int32)
+    ids, mask = sample_neighbors(jax.random.PRNGKey(0), g.neighbors, g.degrees, nodes, 2)
+    assert ids.shape == (2, 2, 2)
+    assert mask.shape == (2, 2, 2)
