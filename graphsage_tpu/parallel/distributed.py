@@ -1,0 +1,177 @@
+"""Distributed execution: sharded training step and edge-partitioned
+full-graph aggregation.
+
+Two cooperating parallel modes (no counterpart in the single-device
+reference — SURVEY.md §2.2 lists these as north-star components):
+
+* **DP + TP sampled training** (:class:`ShardedTrainer`): the seed batch is
+  split over the ``data`` axis, features and the first-layer weight over the
+  ``model`` axis. One ``jit`` with NamedShardings — XLA inserts the layer-1
+  all-reduce and the gradient psum.
+* **Edge-partitioned full-graph aggregation**
+  (:func:`sharded_spmm_mean`, :func:`distributed_full_graph_logits`): each
+  shard owns a contiguous CSR edge block, computes partial segment sums
+  locally, and partials all-reduce over the ``graph`` axis — the graph analog
+  of sequence parallelism (SURVEY.md §5.7). Written with ``shard_map`` so the
+  collective is explicit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from graphsage_tpu.data.graph import Graph
+from graphsage_tpu.models.graphsage import GraphSAGE, SAGEParams
+from graphsage_tpu.parallel.mesh import graph_shardings, named, param_shardings
+from graphsage_tpu.parallel.partition import EdgePartition, partition_edges
+from graphsage_tpu.train.config import TrainConfig
+from graphsage_tpu.train.trainer import Trainer, TrainState
+
+
+# --------------------------------------------------------------------------
+# Edge-partitioned aggregation (shard_map + psum)
+# --------------------------------------------------------------------------
+
+def sharded_spmm_mean(
+    mesh: Mesh,
+    axis: str,
+    features: jax.Array,  # [N, F] replicated
+    part: EdgePartition,  # leading dim == mesh.shape[axis]
+    num_nodes: int,
+) -> jax.Array:
+    """Full-graph mean aggregation with edges sharded over ``axis``.
+
+    Each shard: gather its edges' source features, local segment-sum into
+    [N, F] partials + [N] counts; then one psum of both across the axis.
+    Output is replicated. Differentiable (shard_map supports autodiff; the
+    cotangent of the psum is the identity broadcast).
+    """
+
+    def local(feats, src, dst, mask):
+        src, dst, mask = src[0], dst[0], mask[0]
+        w = mask.astype(feats.dtype)
+        per_edge = jnp.take(feats, dst, axis=0) * w[:, None]
+        summed = jax.ops.segment_sum(per_edge, src, num_segments=num_nodes)
+        count = jax.ops.segment_sum(w, src, num_segments=num_nodes)
+        summed = jax.lax.psum(summed, axis)
+        count = jax.lax.psum(count, axis)
+        return summed / jnp.maximum(count, 1.0)[:, None]
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+    )(features, part.edge_src, part.edge_dst, part.edge_mask)
+
+
+def distributed_full_graph_logits(
+    model: GraphSAGE,
+    params: SAGEParams,
+    graph: Graph,
+    mesh: Mesh,
+    axis: str = "graph",
+    part: EdgePartition | None = None,
+) -> jax.Array:
+    """Full-graph forward with every aggregation edge-partitioned over
+    ``axis``. Matches :meth:`GraphSAGE.forward_full_graph` allclose."""
+    if model.aggregator != "mean":
+        raise NotImplementedError("edge-partitioned path supports the mean aggregator")
+    if part is None:
+        part = partition_edges(graph, mesh.shape[axis])
+    h = graph.features
+    if model.compute_dtype is not None:
+        h = h.astype(model.compute_dtype)
+    for l in range(model.num_layers):
+        neigh_mean = sharded_spmm_mean(mesh, axis, h, part, graph.num_nodes)
+        p = params.layers[l]
+        combined = (
+            jnp.concatenate([h, neigh_mean], axis=-1) if model.concat_self else neigh_mean
+        )
+        h = jax.nn.relu(
+            jnp.einsum(
+                "ni,io->no", combined, p.weight.astype(h.dtype),
+                preferred_element_type=jnp.float32, precision=model.matmul_precision,
+            )
+        ).astype(h.dtype)
+    logits = jnp.einsum(
+        "nd,dc->nc", h, params.head.astype(h.dtype),
+        preferred_element_type=jnp.float32, precision=model.matmul_precision,
+    )
+    return logits.astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# DP + TP sampled training
+# --------------------------------------------------------------------------
+
+class ShardedTrainer(Trainer):
+    """Trainer whose jitted step runs over a mesh with DP (+ optional TP).
+
+    The step function is identical to the single-chip one — parallelism is
+    entirely expressed through input shardings; XLA partitions the program
+    and inserts collectives (gradient psum over ``data``, feature-dim
+    all-reduce over ``model``).
+    """
+
+    def __init__(
+        self,
+        model: GraphSAGE,
+        graph: Graph,
+        config: TrainConfig,
+        mesh: Mesh,
+        data_axis: str = "data",
+        model_axis: str | None = "model",
+    ):
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self.model_axis = model_axis if (model_axis in mesh.axis_names) else None
+        super().__init__(model, graph, config)
+        if config.batch_size % mesh.shape[data_axis]:
+            raise ValueError(
+                f"batch_size {config.batch_size} must divide over data axis "
+                f"size {mesh.shape[data_axis]}"
+            )
+        self._graph_sharding = graph_shardings(mesh, graph, self.model_axis)
+        self._seed_sharding = named(mesh, data_axis)
+        self.graph = jax.device_put(graph, self._graph_sharding)
+        self._jit_step = None  # built lazily once params exist
+
+    def _state_shardings(self, state: TrainState):
+        pspec = param_shardings(
+            self.mesh, state.params, self.model.in_dim, self.model_axis
+        )
+        repl = named(self.mesh)
+        opt_spec = jax.tree_util.tree_map(lambda _: repl, state.opt_state)
+        return TrainState(
+            params=pspec, opt_state=opt_spec, key=repl, step=repl
+        )
+
+    def init_state(self) -> TrainState:
+        state = super().init_state()
+        sharded = jax.device_put(state, self._state_shardings(state))
+        if self._jit_step is None:
+            self._jit_step = jax.jit(
+                self._train_step,
+                donate_argnums=(0,),
+                in_shardings=(
+                    self._state_shardings(state),
+                    self._graph_sharding,
+                    self._seed_sharding,
+                ),
+                out_shardings=(self._state_shardings(state), named(self.mesh)),
+            )
+        return sharded
+
+    def step(self, state: TrainState, seeds) -> tuple[TrainState, float]:
+        seeds = jax.device_put(
+            jnp.asarray(seeds, jnp.int32), self._seed_sharding
+        )
+        state, loss = self._jit_step(state, self.graph, seeds)
+        return state, loss

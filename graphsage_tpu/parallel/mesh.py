@@ -1,0 +1,96 @@
+"""Device-mesh construction and canonical PartitionSpecs.
+
+The reference is single-process/single-device with no communication layer
+(SURVEY.md §2.2). This module is the framework's NCCL-equivalent: JAX meshes
+over ICI/DCN with named axes, and the sharding rules the rest of the
+framework uses.
+
+Axes:
+
+* ``data``  — data parallelism: the seed-node batch is split; gradients
+  all-reduce (psum) across it.
+* ``model`` — tensor parallelism over the feature dimension: ``features
+  [N, F]`` and the first layer weight ``[F, d]`` are sharded on ``F``; the
+  contraction inserts one all-reduce per layer-1 matmul.
+* ``graph`` — edge partitioning for full-graph aggregation: each shard owns a
+  contiguous CSR edge block, computes partial segment-sums, and partials
+  all-reduce (the graph analog of sequence parallelism — SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    axis_sizes: dict[str, int] | None = None,
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """Build a mesh; default = all local devices on a single ``data`` axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if axis_sizes is None:
+        axis_sizes = {"data": len(devices)}
+    names = tuple(axis_sizes)
+    sizes = tuple(axis_sizes.values())
+    total = math.prod(sizes)
+    if total > len(devices):
+        raise ValueError(
+            f"mesh {dict(axis_sizes)} needs {total} devices, have {len(devices)}"
+        )
+    grid = np.asarray(devices[:total]).reshape(sizes)
+    return Mesh(grid, names)
+
+
+def default_mesh_shape(n_devices: int) -> dict[str, int]:
+    """(data, model) factorization used by the dry-run harness: largest
+    power-of-two model axis up to 4, remainder on data."""
+    model = 1
+    for cand in (4, 2):
+        if n_devices % cand == 0:
+            model = cand
+            break
+    return {"data": n_devices // model, "model": model}
+
+
+def named(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def graph_shardings(mesh: Mesh, graph, model_axis: str | None = "model"):
+    """NamedShardings pytree (matching ``graph``'s structure) for DP+TP.
+
+    Features shard on the feature dim over the model axis; adjacency, labels
+    and edge arrays replicate (they are index data read by every shard).
+    """
+    model_axis = model_axis if model_axis in mesh.axis_names else None
+    repl = named(mesh)
+    feat_sharding = named(mesh, None, model_axis)
+    feats = graph.features
+    return jax.tree_util.tree_map(
+        lambda leaf: feat_sharding if leaf is feats else repl, graph
+    )
+
+
+def param_shardings(mesh: Mesh, params, in_dim: int, model_axis: str | None = "model"):
+    """NamedShardings for SAGEParams: shard any weight whose input dim equals
+    the (possibly concatenated) feature dim over the model axis; everything
+    else replicates."""
+    model_axis = model_axis if model_axis in mesh.axis_names else None
+    repl = named(mesh)
+
+    def spec_for(leaf):
+        if (
+            model_axis is not None
+            and hasattr(leaf, "ndim")
+            and leaf.ndim == 2
+            and leaf.shape[0] in (in_dim, 2 * in_dim)
+        ):
+            return named(mesh, model_axis, None)
+        return repl
+
+    return jax.tree_util.tree_map(spec_for, params)

@@ -1,0 +1,108 @@
+"""Distributed tests on a simulated 8-device CPU mesh (SURVEY.md §4.5):
+mesh/sharding construction, edge-partitioned aggregation parity with the
+single-shard path, and N-shard == 1-shard training invariance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphsage_tpu.data.synthetic import power_law_graph
+from graphsage_tpu.models.graphsage import GraphSAGE
+from graphsage_tpu.parallel.distributed import (
+    ShardedTrainer,
+    distributed_full_graph_logits,
+    sharded_spmm_mean,
+)
+from graphsage_tpu.parallel.mesh import default_mesh_shape, make_mesh
+from graphsage_tpu.parallel.partition import partition_edges, partition_stats
+from graphsage_tpu.train.config import TrainConfig
+from graphsage_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return power_law_graph(num_nodes=200, num_edges=800, num_feats=16, num_classes=4, seed=3)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh({"data": 4, "model": 2})
+    assert mesh.shape == {"data": 4, "model": 2}
+    assert default_mesh_shape(8) == {"data": 2, "model": 4}
+    assert default_mesh_shape(6) == {"data": 3, "model": 2}
+    assert default_mesh_shape(1) == {"data": 1, "model": 1}
+    with pytest.raises(ValueError):
+        make_mesh({"data": 64})
+
+
+def test_partition_edges_covers_all(graph):
+    part = partition_edges(graph, 8)
+    assert part.edge_src.shape[0] == 8
+    total_real = int(np.asarray(part.edge_mask).sum())
+    assert total_real == graph.num_edges
+    stats = partition_stats(graph, 8)
+    assert stats["num_shards"] == 8
+    assert stats["edges_per_shard_max"] >= stats["edges_per_shard_min"]
+
+
+def test_sharded_spmm_matches_local(graph):
+    from graphsage_tpu.ops.aggregate import spmm_mean
+
+    mesh = make_mesh({"graph": 8})
+    part = partition_edges(graph, 8)
+    got = sharded_spmm_mean(mesh, "graph", graph.features, part, graph.num_nodes)
+    want = spmm_mean(
+        graph.features, graph.edge_src, graph.edge_dst, graph.edge_mask, graph.num_nodes
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_distributed_full_graph_matches_single(graph):
+    model = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
+                      hidden_dims=(8, 8), fanouts=(None, None))
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh({"graph": 8})
+    got = distributed_full_graph_logits(model, params, graph, mesh)
+    want = model.forward_full_graph(params, graph)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_trainer_matches_single_device(graph):
+    """DP+TP over 8 devices must train to the same params as one device
+    (identical seeds => identical batches and sample keys)."""
+    model = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
+                      hidden_dims=(8, 8), fanouts=(4, 4))
+    cfg = TrainConfig(batch_size=32, num_steps=4, learning_rate=0.5,
+                      test_size=40, val_size=40, log_every=0)
+
+    single = Trainer(model, graph, cfg)
+    s_state = single.init_state()
+    batches = [next(iter([b])) for b in [None]]  # placeholder
+    it1 = single.batches()
+    losses1 = []
+    for _ in range(cfg.num_steps):
+        s_state, l = single.step(s_state, next(it1))
+        losses1.append(float(l))
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    sharded = ShardedTrainer(model, graph, cfg, mesh)
+    d_state = sharded.init_state()
+    it2 = sharded.batches()
+    losses2 = []
+    for _ in range(cfg.num_steps):
+        d_state, l = sharded.step(d_state, next(it2))
+        losses2.append(float(l))
+
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-4)
+    p1 = jax.tree_util.tree_leaves(s_state.params)
+    p2 = jax.tree_util.tree_leaves(d_state.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_trainer_rejects_indivisible_batch(graph):
+    model = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
+                      hidden_dims=(8,), fanouts=(4,))
+    mesh = make_mesh({"data": 8})
+    with pytest.raises(ValueError):
+        ShardedTrainer(model, graph, TrainConfig(batch_size=30), mesh, model_axis=None)
