@@ -46,7 +46,7 @@ from graphsage_tpu.models.layers import (
     apply_sage_layer,
     init_sage_layer,
 )
-from graphsage_tpu.ops.aggregate import gather, spmm_mean
+from graphsage_tpu.ops.aggregate import gather, gather_mean, spmm_mean
 from graphsage_tpu.ops.sampling import sample_neighbors
 
 
@@ -88,6 +88,9 @@ class GraphSAGE:
     # None = platform default (bf16 inputs on TPU); "highest" = full f32,
     # required for allclose parity against the reference (SURVEY.md §4.1).
     matmul_precision: str | None = None
+    # Layer-0 neighbor aggregation backend (the hot gather):
+    # "auto" | "take" | "onehot_pallas" — see graphsage_tpu.ops.aggregate.
+    gather_impl: str = "auto"
 
     def __post_init__(self):
         if len(self.hidden_dims) != len(self.fanouts):
@@ -147,10 +150,45 @@ class GraphSAGE:
     ) -> jax.Array:
         """Logits ``[B, num_classes]`` for the frontier's seed batch."""
         L = self.num_layers
-        h = gather(features, frontier.ids[L])
-        if self.compute_dtype is not None:
-            h = h.astype(self.compute_dtype)
-        for l in range(L):
+        start_l = 0
+        if self.aggregator == "mean":
+            # Fused deepest-hop aggregation: the raw-feature gather + masked
+            # mean collapse into one op (Pallas one-hot matmul on TPU) —
+            # layer 0 then only combines + projects.
+            n_out = frontier.ids[L - 1].shape[0]
+            k_cols = frontier.ids[L].shape[0] // n_out
+            ids2 = frontier.ids[L].reshape(n_out, k_cols)
+            m2 = frontier.masks[L].reshape(n_out, k_cols)
+            if self.concat_self:
+                neigh_ids, neigh_mask = ids2[:, 1:], m2[:, 1:]
+                self_h = gather(features, frontier.ids[L - 1])
+                if self.compute_dtype is not None:
+                    self_h = self_h.astype(self.compute_dtype)
+            else:
+                neigh_ids, neigh_mask = ids2, m2
+                self_h = None
+            agg = gather_mean(
+                features, neigh_ids, neigh_mask,
+                impl=self.gather_impl,
+                bf16=self.compute_dtype == jnp.bfloat16,
+            )
+            h = apply_sage_layer(
+                params.layers[0],
+                self_h,
+                None,
+                None,
+                aggregator=self.aggregator,
+                concat_self=self.concat_self,
+                compute_dtype=self.compute_dtype,
+                precision=self.matmul_precision,
+                precomputed_agg=agg,
+            )
+            start_l = 1
+        else:
+            h = gather(features, frontier.ids[L])
+            if self.compute_dtype is not None:
+                h = h.astype(self.compute_dtype)
+        for l in range(start_l, L):
             hop_in = L - l  # activations currently live at this hop
             n_out = frontier.ids[hop_in - 1].shape[0]
             k_cols = frontier.ids[hop_in].shape[0] // n_out

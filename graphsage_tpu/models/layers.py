@@ -80,6 +80,7 @@ def apply_sage_layer(
     activation: Callable[[jax.Array], jax.Array] | None = jax.nn.relu,
     compute_dtype: jnp.dtype | None = None,
     precision: jax.lax.Precision | str | None = None,
+    precomputed_agg: jax.Array | None = None,
 ) -> jax.Array:
     """Apply one layer. Returns ``[..., out_dim]``.
 
@@ -91,12 +92,19 @@ def apply_sage_layer(
     w = params.weight
     out_dtype = w.dtype
     if compute_dtype is not None:
-        neigh_feats = neigh_feats.astype(compute_dtype)
+        if neigh_feats is not None:
+            neigh_feats = neigh_feats.astype(compute_dtype)
         if self_feats is not None:
             self_feats = self_feats.astype(compute_dtype)
         w = w.astype(compute_dtype)
 
-    if aggregator == "mean":
+    if precomputed_agg is not None:
+        # Neighbor aggregation already fused upstream (Pallas gather-mean on
+        # the deepest hop); only combine + project here.
+        agg = precomputed_agg.astype(
+            compute_dtype if compute_dtype is not None else out_dtype
+        )
+    elif aggregator == "mean":
         agg = masked_mean(neigh_feats, neigh_mask)
     else:  # maxpool: per-neighbor MLP, then masked max
         pw = params.pool_weight

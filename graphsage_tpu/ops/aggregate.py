@@ -68,6 +68,39 @@ def segment_mean_csr(
     return summed / jnp.maximum(counts, 1.0)[:, None]
 
 
+def gather_mean(
+    features: jax.Array,
+    idx: jax.Array,
+    mask: jax.Array,
+    impl: str = "auto",
+    bf16: bool = False,
+) -> jax.Array:
+    """Fused ``masked_mean(features[idx], mask)`` -> ``[B, F]`` dispatcher.
+
+    Implementations (measured on TPU v5e, Cora shapes, scan-amortized):
+
+    * ``"onehot_pallas"`` — MXU one-hot matmul Pallas kernel, ~3x the XLA
+      gather (0.49 ms vs 1.48 ms). O(B*N*F) compute: right when the node
+      table is ≤ ~128K rows.
+    * ``"take"`` — XLA dynamic gather + masked mean. O(B*k*F): the large-N
+      path, and the parity/oracle path (exact f32).
+    * ``"auto"`` — onehot_pallas on TPU for N ≤ 131072, else take. CPU
+      always takes the XLA path (Pallas would run interpreted).
+    """
+    if impl == "auto":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        small_table = features.shape[0] <= 131072
+        small_fanout = idx.shape[-1] <= 32  # unrolled compare loop in-kernel
+        impl = "onehot_pallas" if (on_tpu and small_table and small_fanout) else "take"
+    if impl == "onehot_pallas":
+        from graphsage_tpu.ops.pallas_onehot import onehot_gather_mean
+
+        return onehot_gather_mean(features, idx, mask, 512, 512, bf16)
+    if impl == "take":
+        return masked_mean(jnp.take(features, idx, axis=0), mask)
+    raise ValueError(f"unknown gather_mean impl {impl!r}")
+
+
 def spmm_mean(
     features: jax.Array,
     edge_src: jax.Array,
