@@ -130,18 +130,41 @@ def parse_pubmed(root: str | os.PathLike) -> RawDataset:
     return RawDataset(features, labels, edges, int(labels.max()) + 1)
 
 
-def load_cora(root: str | os.PathLike = "cora", **build_kwargs) -> Graph:
+def _parse(name: str, root, engine: str) -> RawDataset:
+    """Route to the numpy or native C++ parser (semantics are identical;
+    pinned by tests/test_native.py)."""
+    py = {"cora": parse_cora, "pubmed": parse_pubmed}[name]
+    if engine == "python":
+        return py(root)
+    from graphsage_tpu.data import native
+
+    if engine == "native":
+        return (native.parse_cora_native if name == "cora"
+                else native.parse_pubmed_native)(root)
+    if engine == "auto":
+        if native.available():
+            return (native.parse_cora_native if name == "cora"
+                    else native.parse_pubmed_native)(root)
+        return py(root)
+    raise ValueError(f"unknown engine {engine!r}")
+
+
+def load_cora(
+    root: str | os.PathLike = "cora", engine: str = "auto", **build_kwargs
+) -> Graph:
     """Load Cora into a device :class:`Graph` (undirected, Q14-compatible)."""
-    raw = parse_cora(root)
+    raw = _parse("cora", root, engine)
     return build_graph(
         raw.features, raw.labels, raw.edges, num_classes=raw.num_classes,
         undirected=True, **build_kwargs,
     )
 
 
-def load_pubmed(root: str | os.PathLike = "pubmed-data", **build_kwargs) -> Graph:
+def load_pubmed(
+    root: str | os.PathLike = "pubmed-data", engine: str = "auto", **build_kwargs
+) -> Graph:
     """Load Pubmed into a device :class:`Graph` (undirected, Q15-compatible)."""
-    raw = parse_pubmed(root)
+    raw = _parse("pubmed", root, engine)
     return build_graph(
         raw.features, raw.labels, raw.edges, num_classes=raw.num_classes,
         undirected=True, **build_kwargs,

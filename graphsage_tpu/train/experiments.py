@@ -1,0 +1,141 @@
+"""Reference-compatible experiment drivers.
+
+``run_cora()`` / ``run_pubmed()`` reproduce the observable surface of the
+reference's entry points (reference graphsage/model.py:65-106, 137-178):
+load the dataset from the original file formats, train the preset config,
+print per-batch loss lines and finally ``Validation F1`` + ``Average batch
+time``. ``run_preset`` is the general driver behind them and the CLI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+
+from graphsage_tpu.data.graph import Graph
+from graphsage_tpu.data.loaders import load_cora, load_pubmed
+from graphsage_tpu.data.synthetic import power_law_graph
+from graphsage_tpu.models.graphsage import GraphSAGE
+from graphsage_tpu.train.config import ExperimentConfig, PRESETS
+from graphsage_tpu.train.trainer import Trainer
+
+
+def load_dataset(name: str, data_root: str | None = None) -> Graph:
+    if name == "cora":
+        return load_cora(data_root or "cora")
+    if name == "pubmed":
+        return load_pubmed(data_root or "pubmed-data")
+    if name == "powerlaw":
+        return power_law_graph(
+            num_nodes=100_000, num_edges=2_000_000, num_feats=256, num_classes=16
+        )
+    raise ValueError(f"unknown dataset {name!r}")
+
+
+def build_model(config: ExperimentConfig, graph: Graph) -> GraphSAGE:
+    m = config.model
+    compute_dtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else None
+    return GraphSAGE(
+        in_dim=graph.num_features,
+        num_classes=graph.num_classes,
+        hidden_dims=tuple(m.hidden_dims),
+        fanouts=tuple(m.fanouts),
+        aggregator=m.aggregator,
+        concat_self=m.concat_self,
+        pool_dim=m.pool_dim,
+        compute_dtype=compute_dtype,
+    )
+
+
+def run_preset(
+    name: str,
+    data_root: str | None = None,
+    log: Callable[[str], None] | None = print,
+    overrides: dict[str, Any] | None = None,
+    checkpoint_path: str | None = None,
+) -> dict[str, Any]:
+    """Train one of the BASELINE.json preset configs end to end."""
+    config = PRESETS[name]
+    if overrides:
+        train_over = {k: v for k, v in overrides.items()
+                      if k in {f.name for f in dataclasses.fields(config.train)}}
+        model_over = {k: v for k, v in overrides.items()
+                      if k in {f.name for f in dataclasses.fields(config.model)}}
+        config = dataclasses.replace(
+            config,
+            train=dataclasses.replace(config.train, **train_over),
+            model=dataclasses.replace(config.model, **model_over),
+        )
+    graph = load_dataset(config.dataset, data_root)
+    model = build_model(config, graph)
+    trainer = Trainer(model, graph, config.train)
+    result = trainer.run(log=log)
+    if checkpoint_path:
+        from graphsage_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(checkpoint_path, result["state"])
+        if log:
+            log(f"checkpoint written: {checkpoint_path}")
+    return result
+
+
+def run_cora(data_root: str | None = None, **kwargs) -> dict[str, Any]:
+    """The reference's `run_cora` surface (model.py:65-106): 100 x 256-node
+    batches, SGD lr 0.7, per-batch loss lines, final val micro-F1."""
+    return run_preset("cora", data_root=data_root, **kwargs)
+
+
+def run_pubmed(data_root: str | None = None, **kwargs) -> dict[str, Any]:
+    """The reference's `run_pubmed` surface (model.py:137-178)."""
+    return run_preset("pubmed", data_root=data_root, **kwargs)
+
+
+def main(argv: Optional[list[str]] = None) -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="python -m graphsage_tpu.train",
+        description="Train a TPU-native GraphSAGE model (presets mirror the "
+        "reference's run_cora/run_pubmed plus the BASELINE.json configs).",
+    )
+    parser.add_argument("--preset", default="cora", choices=sorted(PRESETS))
+    parser.add_argument("--data-root", default=None,
+                        help="dataset directory (cora/ or pubmed-data/ layout)")
+    parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--batching", choices=("epoch", "reference"), default=None)
+    parser.add_argument("--test-size", type=int, default=None)
+    parser.add_argument("--val-size", type=int, default=None)
+    parser.add_argument("--checkpoint", default=None, help="write final state here")
+    parser.add_argument("--quiet", action="store_true", help="suppress per-step loss")
+    args = parser.parse_args(argv)
+
+    overrides: dict[str, Any] = {}
+    if args.steps is not None:
+        overrides["num_steps"] = args.steps
+    if args.batch_size is not None:
+        overrides["batch_size"] = args.batch_size
+    if args.lr is not None:
+        overrides["learning_rate"] = args.lr
+    if args.seed is not None:
+        overrides["seed"] = args.seed
+    if args.batching is not None:
+        overrides["batching"] = args.batching
+    if args.test_size is not None:
+        overrides["test_size"] = args.test_size
+    if args.val_size is not None:
+        overrides["val_size"] = args.val_size
+    if args.quiet:
+        overrides["log_every"] = 0
+
+    run_preset(
+        args.preset,
+        data_root=args.data_root,
+        overrides=overrides or None,
+        checkpoint_path=args.checkpoint,
+    )

@@ -67,6 +67,12 @@ class Trainer:
         self.test_nodes, self.val_nodes, self.train_nodes = reference_splits(
             graph.num_nodes, config.seed, config.test_size, config.val_size
         )
+        if len(self.train_nodes) == 0:
+            raise ValueError(
+                f"empty train split: graph has {graph.num_nodes} nodes but "
+                f"test_size={config.test_size} + val_size={config.val_size} "
+                f"consume them all"
+            )
         self._jit_step = jax.jit(self._train_step, donate_argnums=(0,))
         self._jit_full_logits = jax.jit(
             lambda params, graph: self.model.forward_full_graph(params, graph)

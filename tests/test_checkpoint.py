@@ -1,0 +1,71 @@
+"""Checkpoint round-trip: full TrainState save/restore and resume-equivalence."""
+
+import jax
+import numpy as np
+import pytest
+
+from graphsage_tpu.data.synthetic import power_law_graph
+from graphsage_tpu.models.graphsage import GraphSAGE
+from graphsage_tpu.train.config import TrainConfig
+from graphsage_tpu.train.trainer import Trainer
+from graphsage_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+
+@pytest.fixture(scope="module")
+def setup():
+    graph = power_law_graph(num_nodes=100, num_edges=400, num_feats=8, num_classes=3, seed=5)
+    model = GraphSAGE(in_dim=8, num_classes=3, hidden_dims=(8, 8), fanouts=(3, 3))
+    trainer = Trainer(model, graph, TrainConfig(
+        batch_size=16, num_steps=2, test_size=20, val_size=20, log_every=0))
+    return graph, model, trainer
+
+
+def test_roundtrip_identical(tmp_path, setup):
+    _, _, trainer = setup
+    state = trainer.init_state()
+    it = trainer.batches()
+    state, _ = trainer.step(state, next(it))
+    path = save_checkpoint(tmp_path / "ckpt", state)
+
+    template = trainer.init_state()
+    restored = restore_checkpoint(path, template)
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_training_equivalence(tmp_path, setup):
+    """train 2 steps straight == train 1, checkpoint, restore, train 1."""
+    _, _, trainer = setup
+    it = trainer.batches()
+    b1, b2 = next(it), next(it)
+
+    s = trainer.init_state()
+    s, _ = trainer.step(s, b1)
+    s, _ = trainer.step(s, b2)
+
+    t = trainer.init_state()
+    t, _ = trainer.step(t, b1)
+    path = save_checkpoint(tmp_path / "mid", t)
+    t2 = restore_checkpoint(path, trainer.init_state())
+    t2, _ = trainer.step(t2, b2)
+
+    for a, b in zip(jax.tree_util.tree_leaves(s.params), jax.tree_util.tree_leaves(t2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_restore_shape_mismatch_raises(tmp_path, setup):
+    _, _, trainer = setup
+    state = trainer.init_state()
+    path = save_checkpoint(tmp_path / "ck2", state)
+
+    other_model = GraphSAGE(in_dim=8, num_classes=3, hidden_dims=(16, 8), fanouts=(3, 3))
+    other = Trainer(other_model, power_law_graph(100, 400, 8, 3, seed=5),
+                    TrainConfig(batch_size=16, test_size=20, val_size=20))
+    with pytest.raises(ValueError):
+        restore_checkpoint(path, other.init_state())
+
+
+def test_restore_missing_file_raises(tmp_path, setup):
+    _, _, trainer = setup
+    with pytest.raises(FileNotFoundError):
+        restore_checkpoint(tmp_path / "nope", trainer.init_state())

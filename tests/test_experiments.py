@@ -1,0 +1,51 @@
+"""Experiment drivers and CLI surface."""
+
+import numpy as np
+import pytest
+
+from graphsage_tpu.train.experiments import load_dataset, main, run_preset
+
+
+def test_run_cora_preset_end_to_end(synth_cora_root, capsys):
+    result = run_preset(
+        "cora",
+        data_root=synth_cora_root,
+        overrides={"num_steps": 5, "test_size": 100, "val_size": 80,
+                   "batch_size": 32, "log_every": 1},
+    )
+    out = capsys.readouterr().out
+    assert "Validation F1:" in out
+    assert "Average batch time:" in out
+    assert len(result["losses"]) == 5
+    assert np.isfinite(result["losses"]).all()
+
+
+def test_run_pubmed_preset(synth_pubmed_root):
+    result = run_preset(
+        "pubmed",
+        data_root=synth_pubmed_root,
+        overrides={"num_steps": 3, "test_size": 60, "val_size": 50,
+                   "batch_size": 32, "log_every": 0},
+    )
+    assert len(result["losses"]) == 3
+
+
+def test_cli_main(synth_cora_root, tmp_path, capsys):
+    ckpt = tmp_path / "final.npz"
+    main([
+        "--preset", "cora", "--data-root", str(synth_cora_root),
+        "--steps", "3", "--batch-size", "16", "--lr", "0.3",
+        "--test-size", "100", "--val-size", "80",
+        "--quiet", "--checkpoint", str(ckpt),
+    ])
+    out = capsys.readouterr().out
+    assert "Validation F1:" in out
+    assert ckpt.exists()
+    # CLI must fail loudly on bad presets
+    with pytest.raises(SystemExit):
+        main(["--preset", "nope"])
+
+
+def test_load_dataset_unknown():
+    with pytest.raises(ValueError):
+        load_dataset("reddit")
