@@ -3,6 +3,7 @@ exactly min(degree, fanout) valid entries, uniform marginals, zero-degree
 fully masked, deterministic full-neighborhood mode."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -89,6 +90,51 @@ def test_uniform_marginals():
         counts[i] += 1
     probs = counts[1:] / draws
     np.testing.assert_allclose(probs, 0.25, atol=0.03)
+
+
+def test_both_methods_same_semantics(tiny_graph):
+    g = tiny_graph
+    degrees = np.asarray(g.degrees)
+    neighbors = np.asarray(g.neighbors)
+    for method in ("floyd", "topk"):
+        ids, mask = sample_neighbors(
+            jax.random.PRNGKey(11), g.neighbors, g.degrees,
+            jnp.arange(g.num_nodes, dtype=jnp.int32), 2, method=method,
+        )
+        ids, mask = np.asarray(ids), np.asarray(mask)
+        for v in range(g.num_nodes):
+            valid = ids[v][mask[v]]
+            assert len(valid) == min(degrees[v], 2), method
+            assert len(set(valid.tolist())) == len(valid), method
+            assert set(valid.tolist()) <= set(neighbors[v, : degrees[v]].tolist())
+
+
+def test_floyd_subset_uniformity():
+    """All C(4,2)=6 2-subsets of a degree-4 node must be equally likely."""
+    from collections import Counter
+
+    from graphsage_tpu.data.graph import build_graph
+
+    edges = np.array([[0, i] for i in range(1, 5)])
+    g = build_graph(np.zeros((5, 2), np.float32), np.zeros(5), edges, num_classes=1)
+    draws = 6000
+    keys = jax.random.split(jax.random.PRNGKey(3), draws)
+    nodes = jnp.zeros((1,), jnp.int32)
+    sample = jax.jit(
+        lambda k: sample_neighbors(k, g.neighbors, g.degrees, nodes, 2, method="floyd")[0]
+    )
+    ids = np.asarray(jax.vmap(sample)(keys)).reshape(draws, 2)
+    counts = Counter(frozenset(row.tolist()) for row in ids)
+    assert len(counts) == 6
+    freqs = np.array([counts[s] / draws for s in counts])
+    np.testing.assert_allclose(freqs, 1 / 6, atol=0.02)
+
+
+def test_unknown_method_raises(tiny_graph):
+    g = tiny_graph
+    with pytest.raises(ValueError):
+        sample_neighbors(jax.random.PRNGKey(0), g.neighbors, g.degrees,
+                         jnp.arange(2, dtype=jnp.int32), 2, method="reservoir")
 
 
 def test_multi_dim_nodes(tiny_graph):
