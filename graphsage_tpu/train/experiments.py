@@ -113,6 +113,8 @@ def main(argv: Optional[list[str]] = None) -> None:
     parser.add_argument("--val-size", type=int, default=None)
     parser.add_argument("--checkpoint", default=None, help="write final state here")
     parser.add_argument("--quiet", action="store_true", help="suppress per-step loss")
+    parser.add_argument("--log-jsonl", default=None,
+                        help="append structured metrics records to this file")
     args = parser.parse_args(argv)
 
     overrides: dict[str, Any] = {}
@@ -133,9 +135,18 @@ def main(argv: Optional[list[str]] = None) -> None:
     if args.quiet:
         overrides["log_every"] = 0
 
-    run_preset(
+    result = run_preset(
         args.preset,
         data_root=args.data_root,
         overrides=overrides or None,
         checkpoint_path=args.checkpoint,
     )
+    if args.log_jsonl:
+        from graphsage_tpu.utils.logging import MetricsLogger
+
+        with MetricsLogger(args.log_jsonl, stdout=False, run_name=args.preset) as ml:
+            for i, loss in enumerate(result["losses"]):
+                ml.log("step", step=i, loss=loss)
+            ml.log("eval", val_micro_f1=result["val_micro_f1"],
+                   val_macro_f1=result["val_macro_f1"],
+                   mean_step_time=result["mean_step_time"])
