@@ -46,7 +46,12 @@ from graphsage_tpu.models.layers import (
     apply_sage_layer,
     init_sage_layer,
 )
-from graphsage_tpu.ops.aggregate import gather, gather_mean, spmm_mean
+from graphsage_tpu.ops.aggregate import (
+    gather,
+    gather_mean,
+    segment_max_csr,
+    spmm_mean,
+)
 from graphsage_tpu.ops.sampling import sample_neighbors
 
 
@@ -227,26 +232,36 @@ class GraphSAGE:
 
         Equivalent to the reference with ``num_sample=None`` (quirk Q7) run on
         all nodes — the basis of the numerical-parity tests and of the
-        edge-partitioned distributed mode.
+        edge-partitioned distributed mode. Supports both aggregators: mean
+        via CSR segment-mean, maxpool via per-node MLP + per-edge segment-max
+        (the SDDMM-style formulation).
         """
         h = graph.features
         if self.compute_dtype is not None:
             h = h.astype(self.compute_dtype)
         for l in range(self.num_layers):
-            neigh_mean = spmm_mean(
-                h, graph.edge_src, graph.edge_dst, graph.edge_mask, graph.num_nodes
-            )
-            if self.aggregator != "mean":
-                raise NotImplementedError(
-                    "full-graph path currently supports the mean aggregator"
-                )
-            self_h = h if self.concat_self else None
             p = params.layers[l]
+            if self.aggregator == "mean":
+                agg = spmm_mean(
+                    h, graph.edge_src, graph.edge_dst, graph.edge_mask,
+                    graph.num_nodes,
+                )
+            else:  # maxpool: per-node MLP once, per-edge gather, segment max
+                pooled = jax.nn.relu(
+                    jnp.einsum(
+                        "ni,io->no", h, p.pool_weight.astype(h.dtype),
+                        preferred_element_type=jnp.float32,
+                        precision=self.matmul_precision,
+                    )
+                    + p.pool_bias.astype(h.dtype)
+                ).astype(h.dtype)
+                per_edge = jnp.take(pooled, graph.edge_dst, axis=0)
+                agg = segment_max_csr(
+                    per_edge, graph.edge_src, graph.edge_mask, graph.num_nodes
+                )
             w = p.weight.astype(h.dtype)
             combined = (
-                jnp.concatenate([self_h, neigh_mean], axis=-1)
-                if self.concat_self
-                else neigh_mean
+                jnp.concatenate([h, agg], axis=-1) if self.concat_self else agg
             )
             h = jax.nn.relu(
                 jnp.einsum(

@@ -77,43 +77,70 @@ def gather_mean(
 ) -> jax.Array:
     """Fused ``masked_mean(features[idx], mask)`` -> ``[B, F]`` dispatcher.
 
-    Implementations (measured on TPU v5e, Cora shapes, scan-amortized):
+    Implementations (measured on TPU v5e, scan-amortized):
 
-    * ``"onehot_pallas"`` — MXU one-hot matmul Pallas kernel, ~3x the XLA
-      gather (0.49 ms vs 1.48 ms). O(B*N*F) compute: right when the node
-      table is ≤ ~128K rows.
-    * ``"take"`` — XLA dynamic gather + masked mean. O(B*k*F): the large-N
-      path, and the parity/oracle path (exact f32).
-    * ``"auto"`` — onehot_pallas on TPU for N ≤ 131072, else take. CPU
-      always takes the XLA path (Pallas would run interpreted).
+    * ``"onehot_pallas"`` — MXU one-hot matmul Pallas kernel. O(B*N*F)
+      compute, streams the whole table: wins when the node table is small
+      relative to the fanout (Cora: 0.42 ms vs 1.48 ms XLA gather).
+    * ``"unrolled"`` — k separate gathers fused into an accumulator, never
+      materializing ``[B, k, F]`` in HBM. O(B*k*F) traffic at ~200 GB/s:
+      2.1x faster than take at Pubmed shapes (2.5 ms vs 5.3 ms).
+    * ``"take"`` — XLA gather of ``[B, k, F]`` + masked mean. The simple
+      oracle path (exact same math as unrolled; both exact f32).
+    * ``"auto"`` — cost-model routing between onehot_pallas and unrolled on
+      TPU; take on CPU (Pallas would run interpreted).
     """
     if impl == "auto":
-        # Cost model, constants measured on TPU v5e (scan-amortized):
-        #   one-hot MXU matmul   ~45 TFLOP/s  -> 2*B*N*F flops
-        #   XLA dynamic gather   ~105 GB/s    -> B*k*F*4 bytes
-        # Crossover: one-hot wins when N is small relative to k (dense
-        # streaming beats random row access). Verified: Cora (N=2708, k=10)
-        # onehot 0.42ms vs gather 1.48ms; Pubmed (N=19717) gather 5.3ms vs
-        # onehot 9.3ms.
+        # Constants measured on TPU v5e (scan-amortized):
+        #   one-hot MXU matmul     ~45 TFLOP/s -> 2*B*N*F flops
+        #   unrolled fused gather  ~200 GB/s   -> B*k*F*4 bytes
+        # Verified crossovers: Cora (N=2708,k=10) onehot 0.42ms vs 1.48ms;
+        # Pubmed (N=19717) unrolled 2.5ms vs onehot 9.3ms.
         on_tpu = jax.default_backend() not in ("cpu",)
-        n, f = features.shape
-        k = idx.shape[-1]
-        b = idx.size // k
-        onehot_sec = 2.0 * b * n * f / 45e12
-        gather_sec = (b * k * f * 4 + b * f * 4) / 105e9
-        small_fanout = k <= 32  # unrolled compare loop in-kernel
-        impl = (
-            "onehot_pallas"
-            if (on_tpu and small_fanout and onehot_sec < gather_sec)
-            else "take"
-        )
+        if not on_tpu:
+            impl = "take"
+        else:
+            n, f = features.shape
+            k = idx.shape[-1]
+            b = idx.size // k
+            onehot_sec = 2.0 * b * n * f / 45e12
+            gather_sec = (b * k * f * 4 + b * f * 4) / 200e9
+            small_fanout = k <= 32  # unrolled compare loop in-kernel
+            impl = (
+                "onehot_pallas"
+                if (small_fanout and onehot_sec < gather_sec)
+                else "unrolled"
+            )
     if impl == "onehot_pallas":
         from graphsage_tpu.ops.pallas_onehot import onehot_gather_mean
 
         return onehot_gather_mean(features, idx, mask, 512, 512, bf16)
+    if impl == "unrolled":
+        w = mask.astype(features.dtype)
+        acc = jnp.zeros((*idx.shape[:-1], features.shape[1]), features.dtype)
+        for j in range(idx.shape[-1]):
+            acc = acc + jnp.take(features, idx[..., j], axis=0) * w[..., j : j + 1]
+        return acc / jnp.maximum(w.sum(axis=-1, keepdims=True), 1.0)
     if impl == "take":
         return masked_mean(jnp.take(features, idx, axis=0), mask)
     raise ValueError(f"unknown gather_mean impl {impl!r}")
+
+
+def segment_max_csr(
+    values: jax.Array,
+    edge_src: jax.Array,
+    edge_mask: jax.Array,
+    num_nodes: int,
+) -> jax.Array:
+    """Per-destination max of per-edge ``values[E_pad, F]`` grouped by
+    ``edge_src``; rows with no valid edges return 0 (guarded, quirk Q4)."""
+    neg = jnp.finfo(values.dtype).min
+    masked = jnp.where(edge_mask[:, None], values, neg)
+    maxed = jax.ops.segment_max(masked, edge_src, num_segments=num_nodes)
+    any_valid = jax.ops.segment_sum(
+        edge_mask.astype(jnp.int32), edge_src, num_segments=num_nodes
+    )
+    return jnp.where((any_valid > 0)[:, None], maxed, jnp.zeros_like(maxed))
 
 
 def spmm_mean(

@@ -30,6 +30,9 @@ class TrainConfig:
     batch_size: int = 256
     num_steps: int = 100
     learning_rate: float = 0.7  # reference model.py:89
+    # Reference uses plain SGD; momentum/adam are framework extensions.
+    optimizer: str = "sgd"  # "sgd" | "momentum" | "adam"
+    momentum: float = 0.9  # used by optimizer="momentum"
     seed: int = 1
     # Split sizes follow the reference: first `test_size` of a seeded
     # permutation are test (computed but unused there — quirk Q6), next

@@ -56,8 +56,12 @@ def run_preset(
     log: Callable[[str], None] | None = print,
     overrides: dict[str, Any] | None = None,
     checkpoint_path: str | None = None,
+    mode: str = "sampled",
 ) -> dict[str, Any]:
-    """Train one of the BASELINE.json preset configs end to end."""
+    """Train one of the BASELINE.json preset configs end to end.
+
+    ``mode``: "sampled" (minibatch neighbor sampling, the reference's
+    training scheme) or "full-graph" (transductive full-batch)."""
     config = PRESETS[name]
     if overrides:
         train_over = {k: v for k, v in overrides.items()
@@ -71,7 +75,17 @@ def run_preset(
         )
     graph = load_dataset(config.dataset, data_root)
     model = build_model(config, graph)
-    trainer = Trainer(model, graph, config.train)
+    if mode == "full-graph":
+        import dataclasses as _dc
+
+        from graphsage_tpu.train.full_graph import FullGraphTrainer
+
+        fg_model = _dc.replace(model, fanouts=tuple(None for _ in model.fanouts))
+        trainer = FullGraphTrainer(fg_model, graph, config.train)
+    elif mode == "sampled":
+        trainer = Trainer(model, graph, config.train)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
     result = trainer.run(log=log)
     if checkpoint_path:
         from graphsage_tpu.utils.checkpoint import save_checkpoint
@@ -102,6 +116,7 @@ def main(argv: Optional[list[str]] = None) -> None:
         "reference's run_cora/run_pubmed plus the BASELINE.json configs).",
     )
     parser.add_argument("--preset", default="cora", choices=sorted(PRESETS))
+    parser.add_argument("--mode", default="sampled", choices=("sampled", "full-graph"))
     parser.add_argument("--data-root", default=None,
                         help="dataset directory (cora/ or pubmed-data/ layout)")
     parser.add_argument("--steps", type=int, default=None)
@@ -140,6 +155,7 @@ def main(argv: Optional[list[str]] = None) -> None:
         data_root=args.data_root,
         overrides=overrides or None,
         checkpoint_path=args.checkpoint,
+        mode=args.mode,
     )
     if args.log_jsonl:
         from graphsage_tpu.utils.logging import MetricsLogger

@@ -1,0 +1,131 @@
+"""Full-graph (non-sampled) training.
+
+Complements the sampled minibatch trainer with transductive full-batch
+training: every step runs the deterministic full-neighborhood forward over
+all nodes (the reference's ``num_sample=None`` semantics, quirk Q7) and
+applies cross-entropy on the train split only. Single-device uses
+:meth:`GraphSAGE.forward_full_graph`; on a mesh the same loss runs through
+the halo-exchange path (`parallel/halo.py`), which is differentiable — so
+full-graph training scales across chips with boundary-only communication.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh
+
+from graphsage_tpu.data.graph import Graph
+from graphsage_tpu.models.graphsage import GraphSAGE, SAGEParams
+from graphsage_tpu.train.config import TrainConfig
+from graphsage_tpu.train.trainer import TrainState, make_optimizer, reference_splits
+from graphsage_tpu.utils.metrics import macro_f1, micro_f1
+
+
+class FullGraphTrainer:
+    """Transductive full-batch trainer (optionally halo-distributed)."""
+
+    def __init__(
+        self,
+        model: GraphSAGE,
+        graph: Graph,
+        config: TrainConfig,
+        mesh: Optional[Mesh] = None,
+        axis: str = "graph",
+    ):
+        if mesh is not None and model.aggregator != "mean":
+            raise NotImplementedError(
+                "halo-distributed full-graph training supports the mean aggregator"
+            )
+        self.model = model
+        self.graph = graph
+        self.cfg = config
+        self.mesh = mesh
+        self.tx = make_optimizer(config)
+        self.test_nodes, self.val_nodes, self.train_nodes = reference_splits(
+            graph.num_nodes, config.seed, config.test_size, config.val_size
+        )
+        train_mask = np.zeros(graph.num_nodes, bool)
+        train_mask[self.train_nodes] = True
+        self._train_mask = jnp.asarray(train_mask)
+
+        if mesh is not None:
+            from graphsage_tpu.parallel.halo import (
+                build_node_partition,
+                halo_full_graph_logits,
+            )
+
+            self._part = build_node_partition(graph, mesh.shape[axis])
+            self._logits_fn = lambda p: halo_full_graph_logits(
+                model, p, self._part, mesh, axis
+            )
+        else:
+            self._part = None
+            self._logits_fn = lambda p: model.forward_full_graph(p, graph)
+
+        self._jit_step = jax.jit(self._step)
+        self._jit_logits = jax.jit(self._logits_fn)
+
+    def _loss(self, params: SAGEParams) -> jax.Array:
+        logits = self._logits_fn(params)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, self.graph.labels
+        )
+        w = self._train_mask.astype(ce.dtype)
+        return (ce * w).sum() / w.sum()
+
+    def _step(self, state: TrainState) -> tuple[TrainState, jax.Array]:
+        loss, grads = jax.value_and_grad(self._loss)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, key=state.key,
+                       step=state.step + 1),
+            loss,
+        )
+
+    def init_state(self) -> TrainState:
+        key = jax.random.PRNGKey(self.cfg.seed)
+        key, init_key = jax.random.split(key)
+        params = self.model.init(init_key)
+        return TrainState(params=params, opt_state=self.tx.init(params), key=key,
+                          step=jnp.zeros((), jnp.int32))
+
+    def evaluate(self, state: TrainState, nodes: np.ndarray) -> dict[str, float]:
+        logits = np.asarray(self._jit_logits(state.params))
+        preds = logits.argmax(axis=-1)[np.asarray(nodes)]
+        truth = np.asarray(self.graph.labels)[np.asarray(nodes)]
+        return {
+            "micro_f1": micro_f1(truth, preds),
+            "macro_f1": macro_f1(truth, preds, self.graph.num_classes),
+        }
+
+    def run(self, log: Callable[[str], None] | None = print) -> dict[str, Any]:
+        state = self.init_state()
+        losses, times = [], []
+        for i in range(self.cfg.num_steps):
+            t0 = time.perf_counter()
+            state, loss = self._jit_step(state)
+            loss = float(loss)
+            times.append(time.perf_counter() - t0)
+            losses.append(loss)
+            if log and self.cfg.log_every and i % self.cfg.log_every == 0:
+                log(f"{i} {loss}")
+        val = self.evaluate(state, self.val_nodes)
+        steady = times[1:] if len(times) > 1 else times
+        result = {
+            "losses": losses,
+            "val_micro_f1": val["micro_f1"],
+            "val_macro_f1": val["macro_f1"],
+            "mean_step_time": float(np.mean(steady)),
+            "state": state,
+        }
+        if log:
+            log(f"Validation F1: {val['micro_f1']}")
+            log(f"Average batch time: {result['mean_step_time']}")
+        return result

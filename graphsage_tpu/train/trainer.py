@@ -44,6 +44,17 @@ class TrainState:
     step: jax.Array  # int32 scalar
 
 
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    """Optimizer from config; plain SGD lr=0.7 reproduces the reference."""
+    if config.optimizer == "sgd":
+        return optax.sgd(config.learning_rate)
+    if config.optimizer == "momentum":
+        return optax.sgd(config.learning_rate, momentum=config.momentum)
+    if config.optimizer == "adam":
+        return optax.adam(config.learning_rate)
+    raise ValueError(f"unknown optimizer {config.optimizer!r}")
+
+
 def reference_splits(
     num_nodes: int, seed: int = 1, test_size: int = 1000, val_size: int = 500
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -63,7 +74,7 @@ class Trainer:
         self.model = model
         self.graph = graph
         self.cfg = config
-        self.tx = optax.sgd(config.learning_rate)
+        self.tx = make_optimizer(config)
         self.test_nodes, self.val_nodes, self.train_nodes = reference_splits(
             graph.num_nodes, config.seed, config.test_size, config.val_size
         )
@@ -142,12 +153,13 @@ class Trainer:
     def predict(self, state: TrainState, nodes: np.ndarray) -> np.ndarray:
         """Class predictions for ``nodes``.
 
-        Mean aggregator: deterministic full-graph forward (complete
-        neighborhoods — the reference's ``num_sample=None`` semantics, Q7).
-        Otherwise: sampled forward with ``eval_fanouts``.
+        Default: deterministic full-graph forward (complete neighborhoods —
+        the reference's ``num_sample=None`` semantics, Q7). With
+        ``eval_fanouts`` set: stochastic sampled forward (the reference
+        samples at eval time too — SURVEY §3.3).
         """
         nodes = np.asarray(nodes)
-        if self.model.aggregator == "mean" and self.cfg.eval_fanouts is None:
+        if self.cfg.eval_fanouts is None:
             logits = self._jit_full_logits(state.params, self.graph)
             return np.asarray(jnp.argmax(logits, axis=-1))[nodes]
         if self._eval_model is None:

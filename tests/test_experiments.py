@@ -49,3 +49,13 @@ def test_cli_main(synth_cora_root, tmp_path, capsys):
 def test_load_dataset_unknown():
     with pytest.raises(ValueError):
         load_dataset("reddit")
+
+
+def test_cli_full_graph_mode(synth_cora_root, capsys):
+    main([
+        "--preset", "cora", "--data-root", str(synth_cora_root),
+        "--mode", "full-graph", "--steps", "5", "--lr", "0.3",
+        "--test-size", "100", "--val-size", "80", "--quiet",
+    ])
+    out = capsys.readouterr().out
+    assert "Validation F1:" in out

@@ -1,0 +1,90 @@
+"""Full-graph (transductive) training mode: learning on a single device,
+distributed (halo) training parity, optimizer options."""
+
+import jax
+import numpy as np
+import pytest
+
+from graphsage_tpu.data.loaders import load_cora
+from graphsage_tpu.models.graphsage import GraphSAGE
+from graphsage_tpu.parallel.mesh import make_mesh
+from graphsage_tpu.train.config import TrainConfig
+from graphsage_tpu.train.full_graph import FullGraphTrainer
+from graphsage_tpu.train.trainer import make_optimizer
+
+
+def test_full_graph_training_learns(synth_cora_root):
+    graph = load_cora(synth_cora_root)
+    model = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
+                      hidden_dims=(32, 32), fanouts=(None, None))
+    cfg = TrainConfig(num_steps=30, learning_rate=0.5, test_size=100,
+                      val_size=80, log_every=0)
+    result = FullGraphTrainer(model, graph, cfg).run(log=None)
+    assert result["losses"][-1] < result["losses"][0] * 0.5
+    assert result["val_micro_f1"] > 0.5
+
+
+def test_distributed_full_graph_training_matches_single(synth_cora_root):
+    graph = load_cora(synth_cora_root)
+    model = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
+                      hidden_dims=(16,), fanouts=(None,))
+    cfg = TrainConfig(num_steps=5, learning_rate=0.3, test_size=100,
+                      val_size=80, log_every=0)
+    single = FullGraphTrainer(model, graph, cfg).run(log=None)
+    mesh = make_mesh({"graph": 8})
+    dist = FullGraphTrainer(model, graph, cfg, mesh=mesh).run(log=None)
+    np.testing.assert_allclose(single["losses"], dist["losses"], rtol=1e-4)
+    assert abs(single["val_micro_f1"] - dist["val_micro_f1"]) < 1e-6
+
+
+@pytest.mark.parametrize("opt", ["sgd", "momentum", "adam"])
+def test_optimizer_options(opt):
+    cfg = TrainConfig(optimizer=opt, learning_rate=0.01)
+    tx = make_optimizer(cfg)
+    assert tx is not None
+
+
+def test_unknown_optimizer_raises():
+    with pytest.raises(ValueError):
+        make_optimizer(TrainConfig(optimizer="lion"))
+
+
+def test_full_graph_maxpool_trains(synth_cora_root):
+    graph = load_cora(synth_cora_root)
+    model = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
+                      hidden_dims=(16,), fanouts=(None,), aggregator="maxpool",
+                      concat_self=True, pool_dim=16)
+    cfg = TrainConfig(num_steps=10, learning_rate=0.1, test_size=100,
+                      val_size=80, log_every=0)
+    result = FullGraphTrainer(model, graph, cfg).run(log=None)
+    assert result["losses"][-1] < result["losses"][0]
+    assert np.isfinite(result["losses"]).all()
+
+
+def test_halo_full_graph_training_rejects_maxpool(synth_cora_root):
+    graph = load_cora(synth_cora_root)
+    model = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
+                      hidden_dims=(8,), fanouts=(4,), aggregator="maxpool",
+                      concat_self=True)
+    with pytest.raises(NotImplementedError):
+        FullGraphTrainer(model, graph, TrainConfig(test_size=100, val_size=80),
+                         mesh=make_mesh({"graph": 4}))
+
+
+def test_full_graph_maxpool_matches_sampled_covering_fanout(tiny_graph):
+    """maxpool full-graph == sampled path when fanout covers every degree."""
+    g = tiny_graph
+    model_full = GraphSAGE(in_dim=g.num_features, num_classes=g.num_classes,
+                           hidden_dims=(8, 8), fanouts=(None, None),
+                           aggregator="maxpool", concat_self=True, pool_dim=6)
+    params = model_full.init(jax.random.PRNGKey(3))
+    want = np.asarray(model_full.forward_full_graph(params, g))
+
+    model_samp = GraphSAGE(in_dim=g.num_features, num_classes=g.num_classes,
+                           hidden_dims=(8, 8), fanouts=(16, 16),
+                           aggregator="maxpool", concat_self=True, pool_dim=6)
+    got = np.asarray(
+        model_samp.apply(params, jax.random.PRNGKey(4), g,
+                         jax.numpy.arange(g.num_nodes, dtype=jax.numpy.int32))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -87,3 +87,17 @@ def test_model_forward_same_for_impls(tiny_graph):
     a = model_take.forward(params, g.features, fr)
     b = model_take.forward(params, g.features, fr)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dispatcher_unrolled_matches_oracle(case):
+    feats, idx, mask = case
+    got = gather_mean_dispatch(feats, idx, mask, impl="unrolled")
+    want = gather_mean_reference(feats, idx, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_dispatcher_unrolled_grad_matches(case):
+    feats, idx, mask = case
+    g1 = jax.grad(lambda x: (gather_mean_dispatch(x, idx, mask, impl="unrolled") ** 2).sum())(feats)
+    g2 = jax.grad(lambda x: (gather_mean_reference(x, idx, mask) ** 2).sum())(feats)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
