@@ -28,18 +28,23 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from graphsage_tpu.data.synthetic import power_law_graph
+    from graphsage_tpu.data.synthetic import synthetic_cora_graph
     from graphsage_tpu.models.graphsage import GraphSAGE
     from graphsage_tpu.train.config import TrainConfig
     from graphsage_tpu.train.trainer import Trainer
 
     BASELINE_EDGES_PER_S = 66_000.0  # BASELINE.md, reference on CPU
-    STEPS_PER_BLOCK = 50
+    # The axon relay adds a FIXED ~28 ms per jitted call (measured: a no-op
+    # 1-iteration scan costs 32 ms, a 5000-iteration one 28 ms total), so the
+    # per-step figure only converges to device time with long blocks:
+    # 50 steps/block inflated every step by ~0.56 ms (~2x at these shapes).
+    STEPS_PER_BLOCK = 500
     BLOCKS = 4
     BATCH = 256
 
-    # Cora-scale synthetic graph (2708 nodes x 1433 binary-ish features).
-    graph = power_law_graph(
+    # Cora-like synthetic graph (binary bag-of-words features, homophilous
+    # edges) so the trained loss is meaningful, not just the step timing.
+    graph = synthetic_cora_graph(
         num_nodes=2708, num_edges=5429, num_feats=1433, num_classes=7, seed=0
     )
     model = GraphSAGE(

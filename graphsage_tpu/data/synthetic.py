@@ -62,6 +62,32 @@ def _homophilous_edges(
     return np.array(sorted(edges), dtype=np.int64)
 
 
+def synthetic_cora_graph(
+    num_nodes: int = 2708,
+    num_feats: int = 1433,
+    num_edges: int = 5429,
+    num_classes: int = 7,
+    seed: int = 0,
+) -> "Graph":
+    """In-memory Cora-like graph: binary bag-of-words block features and
+    homophilous edges, so the reference's shipped pure-neighbor-mean mode
+    (quirk Q2 — logits never see a node's own features) is actually
+    learnable at the reference's lr=0.7. The benchmark trains on this; a
+    random-edge power-law graph diverges there (loss 2 -> 6e2 -> dead ReLUs)
+    because neighbor means carry no label signal.
+    """
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, num_classes, num_nodes).astype(np.int32)
+    block_w = max(num_feats // (num_classes * 5), 1)
+    features = np.zeros((num_nodes, num_feats), dtype=np.float32)
+    for i in range(num_nodes):
+        lo = int(labels[i]) * block_w
+        features[i, rng.choice(np.arange(lo, lo + block_w), size=min(12, block_w), replace=False)] = 1.0
+        features[i, rng.choice(num_feats, size=8, replace=False)] = 1.0
+    edges = _homophilous_edges(rng, labels, num_edges)
+    return build_graph(features, labels, edges, num_classes=num_classes, undirected=True)
+
+
 def synth_cora_files(
     root: str | os.PathLike,
     num_nodes: int = 2708,

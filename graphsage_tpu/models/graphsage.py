@@ -45,6 +45,7 @@ from graphsage_tpu.models.layers import (
     SAGELayerParams,
     apply_sage_layer,
     init_sage_layer,
+    split_mean_weight,
 )
 from graphsage_tpu.ops.aggregate import (
     gather,
@@ -96,6 +97,14 @@ class GraphSAGE:
     # Layer-0 neighbor aggregation backend (the hot gather):
     # "auto" | "take" | "onehot_pallas" — see graphsage_tpu.ops.aggregate.
     gather_impl: str = "auto"
+    # Project-then-aggregate for the mean aggregator: since the masked mean
+    # is linear, ``mean(X[idx]) @ W == mean((X @ W)[idx])`` exactly — so when
+    # a layer shrinks its width (1433->128 on Cora, 500->128 on Pubmed) the
+    # projection runs first on the MXU (cheap, sequential reads) and every
+    # gather / segment-sum / halo exchange moves d_out-wide rows instead of
+    # d_in-wide: 4-11x less aggregation traffic and boundary communication.
+    # "auto" = reorder whenever d_in > d_out; True/False force it.
+    project_first: bool | str = "auto"
 
     def __post_init__(self):
         if len(self.hidden_dims) != len(self.fanouts):
@@ -104,6 +113,14 @@ class GraphSAGE:
     @property
     def num_layers(self) -> int:
         return len(self.hidden_dims)
+
+    def use_project_first(self, layer: int, d_in: int) -> bool:
+        """Whether layer ``layer`` aggregates after projecting (mean only)."""
+        if self.aggregator != "mean":
+            return False
+        if self.project_first == "auto":
+            return d_in > self.hidden_dims[layer]
+        return bool(self.project_first)
 
     # ---------------------------------------------------------------- init
     def init(self, key: jax.Array) -> SAGEParams:
@@ -166,28 +183,59 @@ class GraphSAGE:
             m2 = frontier.masks[L].reshape(n_out, k_cols)
             if self.concat_self:
                 neigh_ids, neigh_mask = ids2[:, 1:], m2[:, 1:]
-                self_h = gather(features, frontier.ids[L - 1])
-                if self.compute_dtype is not None:
-                    self_h = self_h.astype(self.compute_dtype)
             else:
                 neigh_ids, neigh_mask = ids2, m2
-                self_h = None
-            agg = gather_mean(
-                features, neigh_ids, neigh_mask,
-                impl=self.gather_impl,
-                bf16=self.compute_dtype == jnp.bfloat16,
-            )
-            h = apply_sage_layer(
-                params.layers[0],
-                self_h,
-                None,
-                None,
-                aggregator=self.aggregator,
-                concat_self=self.concat_self,
-                compute_dtype=self.compute_dtype,
-                precision=self.matmul_precision,
-                precomputed_agg=agg,
-            )
+            if self.use_project_first(0, self.in_dim):
+                # Project the whole table to d_out once on the MXU, then
+                # gather/aggregate narrow rows (exact: the mean is linear).
+                p0 = params.layers[0]
+                feats = features
+                w0 = p0.weight
+                if self.compute_dtype is not None:
+                    feats = feats.astype(self.compute_dtype)
+                    w0 = w0.astype(self.compute_dtype)
+                w_self, w_neigh = split_mean_weight(w0, self.in_dim, self.concat_self)
+                table = jnp.einsum(
+                    "nf,fo->no", feats, w_neigh,
+                    preferred_element_type=jnp.float32,
+                    precision=self.matmul_precision,
+                ).astype(jnp.float32)
+                pre = gather_mean(
+                    table, neigh_ids, neigh_mask,
+                    impl=self.gather_impl,
+                    bf16=self.compute_dtype == jnp.bfloat16,
+                )
+                if self.concat_self:
+                    table_self = jnp.einsum(
+                        "nf,fo->no", feats, w_self,
+                        preferred_element_type=jnp.float32,
+                        precision=self.matmul_precision,
+                    ).astype(jnp.float32)
+                    pre = pre + gather(table_self, frontier.ids[L - 1])
+                h = jax.nn.relu(pre).astype(params.layers[0].weight.dtype)
+            else:
+                if self.concat_self:
+                    self_h = gather(features, frontier.ids[L - 1])
+                    if self.compute_dtype is not None:
+                        self_h = self_h.astype(self.compute_dtype)
+                else:
+                    self_h = None
+                agg = gather_mean(
+                    features, neigh_ids, neigh_mask,
+                    impl=self.gather_impl,
+                    bf16=self.compute_dtype == jnp.bfloat16,
+                )
+                h = apply_sage_layer(
+                    params.layers[0],
+                    self_h,
+                    None,
+                    None,
+                    aggregator=self.aggregator,
+                    concat_self=self.concat_self,
+                    compute_dtype=self.compute_dtype,
+                    precision=self.matmul_precision,
+                    precomputed_agg=agg,
+                )
             start_l = 1
         else:
             h = gather(features, frontier.ids[L])
@@ -241,6 +289,28 @@ class GraphSAGE:
             h = h.astype(self.compute_dtype)
         for l in range(self.num_layers):
             p = params.layers[l]
+            d_in = h.shape[-1]
+            if self.aggregator == "mean" and self.use_project_first(l, d_in):
+                # Project-then-aggregate: the SpMM moves d_out-wide rows.
+                w = p.weight.astype(h.dtype)
+                w_self, w_neigh = split_mean_weight(w, d_in, self.concat_self)
+                hp = jnp.einsum(
+                    "ni,io->no", h, w_neigh,
+                    preferred_element_type=jnp.float32,
+                    precision=self.matmul_precision,
+                ).astype(h.dtype)
+                pre = spmm_mean(
+                    hp, graph.edge_src, graph.edge_dst, graph.edge_mask,
+                    graph.num_nodes,
+                ).astype(jnp.float32)
+                if self.concat_self:
+                    pre = pre + jnp.einsum(
+                        "ni,io->no", h, w_self,
+                        preferred_element_type=jnp.float32,
+                        precision=self.matmul_precision,
+                    )
+                h = jax.nn.relu(pre).astype(h.dtype)
+                continue
             if self.aggregator == "mean":
                 agg = spmm_mean(
                     h, graph.edge_src, graph.edge_dst, graph.edge_mask,

@@ -45,6 +45,22 @@ def combined_input_dim(in_dim: int, pool_dim: int | None, aggregator: str, conca
     return agg_dim + (in_dim if concat_self else 0)
 
 
+def split_mean_weight(
+    weight: jax.Array, in_dim: int, concat_self: bool
+) -> tuple[jax.Array | None, jax.Array]:
+    """Split a mean-aggregator layer weight into (self, neighbor) halves.
+
+    With ``concat_self`` the weight is ``[2*in, out]`` applied to
+    ``[self ‖ mean(neigh)]``; since the mean is linear,
+    ``concat @ W == self @ W[:in] + mean(neigh) @ W[in:]`` — the identity
+    behind the project-then-aggregate reordering (aggregate narrow instead of
+    wide). Returns ``(None, W)`` when there is no self term (quirk Q2 mode).
+    """
+    if not concat_self:
+        return None, weight
+    return weight[:in_dim], weight[in_dim:]
+
+
 def init_sage_layer(
     key: jax.Array,
     in_dim: int,

@@ -124,9 +124,18 @@ def sample_neighbors(
 
     if method == "floyd":
         slots, mask = _floyd_slots(key, degrees[nodes], fanout)
-        flat_nodes = nodes.reshape(-1)
-        flat_slots = slots.reshape(len(flat_nodes), fanout)
-        ids = neighbors[flat_nodes[:, None], flat_slots].reshape(slots.shape)
+        rows = neighbors[nodes]  # [..., max_deg] — one efficient row gather
+        # Select the sampled slots with a fused compare->multiply->reduce
+        # instead of a pointwise 2D gather: XLA's element gather costs
+        # ~0.23 ms at Cora frontier shapes while this lowers to a fused VPU
+        # reduction (~free). f32 is exact for ids < 2^24.
+        sel = (slots[..., None] == jax.lax.broadcasted_iota(
+            jnp.int32, (*slots.shape, max_deg), slots.ndim
+        )).astype(jnp.float32)
+        ids = jnp.einsum(
+            "...kd,...d->...k", sel, rows.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
         return ids, mask
 
     if method == "topk":

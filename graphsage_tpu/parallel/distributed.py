@@ -89,8 +89,31 @@ def distributed_full_graph_logits(
     if model.compute_dtype is not None:
         h = h.astype(model.compute_dtype)
     for l in range(model.num_layers):
-        neigh_mean = sharded_spmm_mean(mesh, axis, h, part, graph.num_nodes)
         p = params.layers[l]
+        d_in = h.shape[-1]
+        if model.use_project_first(l, d_in):
+            # Project first so partial segment-sums and the psum move
+            # d_out-wide rows (exact — mean is linear).
+            from graphsage_tpu.models.layers import split_mean_weight
+
+            w = p.weight.astype(h.dtype)
+            w_self, w_neigh = split_mean_weight(w, d_in, model.concat_self)
+            hp = jnp.einsum(
+                "ni,io->no", h, w_neigh,
+                preferred_element_type=jnp.float32, precision=model.matmul_precision,
+            ).astype(h.dtype)
+            pre = sharded_spmm_mean(mesh, axis, hp, part, graph.num_nodes).astype(
+                jnp.float32
+            )
+            if model.concat_self:
+                pre = pre + jnp.einsum(
+                    "ni,io->no", h, w_self,
+                    preferred_element_type=jnp.float32,
+                    precision=model.matmul_precision,
+                )
+            h = jax.nn.relu(pre).astype(h.dtype)
+            continue
+        neigh_mean = sharded_spmm_mean(mesh, axis, h, part, graph.num_nodes)
         combined = (
             jnp.concatenate([h, neigh_mean], axis=-1) if model.concat_self else neigh_mean
         )

@@ -223,13 +223,37 @@ def halo_full_graph_logits(
         if model.compute_dtype is not None:
             h = h.astype(model.compute_dtype)
         for l in range(model.num_layers):
+            p = params.layers[l]
+            d_in = h.shape[-1]
+            if model.use_project_first(l, d_in):
+                # Project before the exchange: the boundary all_to_all moves
+                # d_out-wide rows instead of d_in-wide (exact — mean is linear).
+                from graphsage_tpu.models.layers import split_mean_weight
+
+                w = p.weight.astype(h.dtype)
+                w_self, w_neigh = split_mean_weight(w, d_in, model.concat_self)
+                hp = jnp.einsum(
+                    "snf,fo->sno", h, w_neigh,
+                    preferred_element_type=jnp.float32,
+                    precision=model.matmul_precision,
+                ).astype(h.dtype)
+                pre = halo_spmm_mean(
+                    axis, part, hp, send_plan, edge_row, edge_slot, edge_mask
+                ).astype(jnp.float32)
+                if model.concat_self:
+                    pre = pre + jnp.einsum(
+                        "snf,fo->sno", h, w_self,
+                        preferred_element_type=jnp.float32,
+                        precision=model.matmul_precision,
+                    )
+                h = jax.nn.relu(pre).astype(h.dtype)
+                continue
             neigh = halo_spmm_mean(
                 axis, part, h, send_plan, edge_row, edge_slot, edge_mask
             )
             combined = (
                 jnp.concatenate([h, neigh], axis=-1) if model.concat_self else neigh
             )
-            p = params.layers[l]
             h = jax.nn.relu(
                 jnp.einsum(
                     "snf,fo->sno", combined, p.weight.astype(h.dtype),

@@ -23,6 +23,9 @@ class ModelConfig:
     concat_self: bool = False  # False = reference shipped mode (quirk Q2)
     pool_dim: Optional[int] = None
     compute_dtype: Optional[str] = None  # None | "bfloat16"
+    # Project-then-aggregate reordering for the mean aggregator (exact math;
+    # see GraphSAGE.project_first). "auto" | True | False.
+    project_first: object = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -47,6 +47,7 @@ def build_model(config: ExperimentConfig, graph: Graph) -> GraphSAGE:
         concat_self=m.concat_self,
         pool_dim=m.pool_dim,
         compute_dtype=compute_dtype,
+        project_first=m.project_first,
     )
 
 
