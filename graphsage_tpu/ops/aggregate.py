@@ -16,6 +16,8 @@ divergence, documented in sampling.py).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -68,28 +70,13 @@ def segment_mean_csr(
     return summed / jnp.maximum(counts, 1.0)[:, None]
 
 
-def gather_mean(
+def _gather_mean_fwd_dispatch(
     features: jax.Array,
     idx: jax.Array,
     mask: jax.Array,
-    impl: str = "auto",
-    bf16: bool = False,
+    impl: str,
+    bf16: bool,
 ) -> jax.Array:
-    """Fused ``masked_mean(features[idx], mask)`` -> ``[B, F]`` dispatcher.
-
-    Implementations (measured on TPU v5e, scan-amortized):
-
-    * ``"onehot_pallas"`` — MXU one-hot matmul Pallas kernel. O(B*N*F)
-      compute, streams the whole table: wins when the node table is small
-      relative to the fanout (Cora: 0.42 ms vs 1.48 ms XLA gather).
-    * ``"unrolled"`` — k separate gathers fused into an accumulator, never
-      materializing ``[B, k, F]`` in HBM. O(B*k*F) traffic at ~200 GB/s:
-      2.1x faster than take at Pubmed shapes (2.5 ms vs 5.3 ms).
-    * ``"take"`` — XLA gather of ``[B, k, F]`` + masked mean. The simple
-      oracle path (exact same math as unrolled; both exact f32).
-    * ``"auto"`` — cost-model routing between onehot_pallas and unrolled on
-      TPU; take on CPU (Pallas would run interpreted).
-    """
     if impl == "auto":
         # Constants measured on TPU v5e (scan-amortized):
         #   one-hot MXU matmul     ~45 TFLOP/s -> 2*B*N*F flops
@@ -112,9 +99,9 @@ def gather_mean(
                 else "unrolled"
             )
     if impl == "onehot_pallas":
-        from graphsage_tpu.ops.pallas_onehot import onehot_gather_mean
+        from graphsage_tpu.ops.pallas_onehot import _onehot_gather_mean_impl
 
-        return onehot_gather_mean(features, idx, mask, 512, 512, bf16)
+        return _onehot_gather_mean_impl(features, idx, mask, bf16=bf16)
     if impl == "unrolled":
         w = mask.astype(features.dtype)
         acc = jnp.zeros((*idx.shape[:-1], features.shape[1]), features.dtype)
@@ -124,6 +111,82 @@ def gather_mean(
     if impl == "take":
         return masked_mean(jnp.take(features, idx, axis=0), mask)
     raise ValueError(f"unknown gather_mean impl {impl!r}")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def gather_mean(
+    features: jax.Array,
+    idx: jax.Array,
+    mask: jax.Array,
+    impl: str = "auto",
+    bf16: bool = False,
+) -> jax.Array:
+    """Fused ``masked_mean(features[idx], mask)`` -> ``[B, F]`` dispatcher.
+
+    Forward implementations (measured on TPU v5e, scan-amortized):
+
+    * ``"onehot_pallas"`` — MXU one-hot matmul Pallas kernel. O(B*N*F)
+      compute, streams the whole table: wins when the node table is small
+      relative to the fanout (Cora: 0.42 ms vs 1.48 ms XLA gather).
+    * ``"unrolled"`` — k separate gathers fused into an accumulator, never
+      materializing ``[B, k, F]`` in HBM. O(B*k*F) traffic at ~200 GB/s:
+      2.1x faster than take at Pubmed shapes (2.5 ms vs 5.3 ms).
+    * ``"take"`` — XLA gather of ``[B, k, F]`` + masked mean. The simple
+      oracle path (exact same math as unrolled; both exact f32).
+    * ``"auto"`` — cost-model routing between onehot_pallas and unrolled on
+      TPU; take on CPU (Pallas would run interpreted).
+
+    The backward (feature cotangent ``dX = Mᵀ @ (g/cnt)``) is dispatched
+    independently of the forward: the Pallas transposed one-hot MXU kernel
+    when its dense O(N*B*F) work beats XLA's scatter (Cora step shapes:
+    0.1 ms vs 0.72 ms), XLA segment-sum otherwise (Pubmed's 256K-row
+    scatter: 2.7 ms vs 3.7 ms dense). Measured v5e fit: scatter ≈
+    0.5 ms + 8.6 ns/row; one-hot ≈ 2*N*B*F / 45 TFLOP/s.
+    """
+    return _gather_mean_fwd_dispatch(features, idx, mask, impl, bf16)
+
+
+def _gather_mean_fwd(features, idx, mask, impl, bf16):
+    out = _gather_mean_fwd_dispatch(features, idx, mask, impl, bf16)
+    sentinel = jnp.zeros((features.shape[0], 0), features.dtype)
+    return out, (sentinel, idx, mask)
+
+
+def _gather_mean_bwd(impl, bf16, res, g):
+    sentinel, idx, mask = res
+    n, dtype = sentinel.shape[0], sentinel.dtype
+    f = g.shape[-1]
+    idx2 = idx.reshape(-1, idx.shape[-1])
+    mask2 = mask.reshape(-1, mask.shape[-1])
+    g2 = g.reshape(-1, f)
+    b, k = idx2.shape
+
+    # Constants calibrated on v5e: the dense one-hot runs at ~30 TFLOP/s
+    # effective (3.7 ms measured at N=19717 B=25600 F=128); XLA's scatter at
+    # ~0.5 ms + 8.6 ns/row (0.72 ms @ 28K rows, 2.7 ms @ 256K rows).
+    on_tpu = jax.default_backend() not in ("cpu",)
+    onehot_sec = 2.0 * n * b * f / 30e12 + 2e-4
+    scatter_sec = 5e-4 + 8.6e-9 * b * k
+    if on_tpu and onehot_sec < scatter_sec:
+        from graphsage_tpu.ops.pallas_onehot import _onehot_scatter_mean_grad
+
+        dfeat = _onehot_scatter_mean_grad(g2, idx2, mask2, n, bf16=bf16)
+    else:
+        # k separate scatter-adds of [B, F] rows — never materializes the
+        # [B*k, F] per-edge tensor (measured 2.3 ms vs 2.7 ms at Pubmed's
+        # 256K-row backward).
+        w = mask2.astype(g2.dtype)
+        cnt = jnp.maximum(w.sum(axis=1, keepdims=True), 1.0)
+        gs = g2 / cnt
+        dfeat = jnp.zeros((n, f), gs.dtype)
+        for j in range(k):
+            dfeat = dfeat + jax.ops.segment_sum(
+                gs * w[:, j : j + 1], idx2[:, j], num_segments=n
+            )
+    return dfeat.astype(dtype), None, None
+
+
+gather_mean.defvjp(_gather_mean_fwd, _gather_mean_bwd)
 
 
 def segment_max_csr(

@@ -125,17 +125,22 @@ def sample_neighbors(
     if method == "floyd":
         slots, mask = _floyd_slots(key, degrees[nodes], fanout)
         rows = neighbors[nodes]  # [..., max_deg] — one efficient row gather
-        # Select the sampled slots with a fused compare->multiply->reduce
-        # instead of a pointwise 2D gather: XLA's element gather costs
-        # ~0.23 ms at Cora frontier shapes while this lowers to a fused VPU
-        # reduction (~free). f32 is exact for ids < 2^24.
-        sel = (slots[..., None] == jax.lax.broadcasted_iota(
-            jnp.int32, (*slots.shape, max_deg), slots.ndim
-        )).astype(jnp.float32)
-        ids = jnp.einsum(
-            "...kd,...d->...k", sel, rows.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
+        # Select the sampled slots with k fused compare->select->reduce
+        # passes instead of a pointwise 2D gather (XLA's element gather
+        # costs ~0.23 ms at Cora frontier shapes) or a one-hot einsum (the
+        # dot operand materializes [B, k, max_deg] in HBM — 1.5 ms at
+        # heavy-tail Pubmed-scale shapes vs 0.42 ms for this form).
+        iota = jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1)
+        ids = jnp.stack(
+            [
+                jnp.sum(
+                    jnp.where(iota == slots[..., j : j + 1], rows, 0),
+                    axis=-1,
+                )
+                for j in range(fanout)
+            ],
+            axis=-1,
+        )
         return ids, mask
 
     if method == "topk":
