@@ -105,6 +105,9 @@ class GraphSAGE:
     # d_in-wide: 4-11x less aggregation traffic and boundary communication.
     # "auto" = reorder whenever d_in > d_out; True/False force it.
     project_first: bool | str = "auto"
+    # Full-graph SpMM backend: "auto" | "xla" | "pallas_vmem" — see
+    # graphsage_tpu.ops.aggregate.spmm_mean.
+    spmm_impl: str = "auto"
 
     def __post_init__(self):
         if len(self.hidden_dims) != len(self.fanouts):
@@ -301,7 +304,7 @@ class GraphSAGE:
                 ).astype(h.dtype)
                 pre = spmm_mean(
                     hp, graph.edge_src, graph.edge_dst, graph.edge_mask,
-                    graph.num_nodes,
+                    graph.num_nodes, indptr=graph.indptr, impl=self.spmm_impl,
                 ).astype(jnp.float32)
                 if self.concat_self:
                     pre = pre + jnp.einsum(
@@ -314,7 +317,7 @@ class GraphSAGE:
             if self.aggregator == "mean":
                 agg = spmm_mean(
                     h, graph.edge_src, graph.edge_dst, graph.edge_mask,
-                    graph.num_nodes,
+                    graph.num_nodes, indptr=graph.indptr, impl=self.spmm_impl,
                 )
             else:  # maxpool: per-node MLP once, per-edge gather, segment max
                 pooled = jax.nn.relu(
