@@ -20,6 +20,8 @@ from graphsage_tpu.data.graph import Graph, build_graph
 from graphsage_tpu.data.loaders import load_cora, load_pubmed
 from graphsage_tpu.models.graphsage import GraphSAGE, SAGEParams
 from graphsage_tpu.train.config import ExperimentConfig, ModelConfig, TrainConfig
+from graphsage_tpu.train.experiments import run_cora, run_preset, run_pubmed
+from graphsage_tpu.train.full_graph import FullGraphTrainer
 from graphsage_tpu.train.trainer import Trainer, TrainState
 
 __version__ = "0.1.0"
@@ -35,6 +37,10 @@ __all__ = [
     "ModelConfig",
     "TrainConfig",
     "Trainer",
+    "FullGraphTrainer",
     "TrainState",
+    "run_cora",
+    "run_pubmed",
+    "run_preset",
     "__version__",
 ]
