@@ -84,13 +84,39 @@ def main() -> None:
             mesh, model_axis=None,
         )
         state = trainer.init_state()
-        seeds = np.arange(args.batch) % graph.num_nodes
-        state, loss = trainer.step(state, seeds)  # compile
-        float(loss)
+        # All reps run inside ONE dispatch (lax.scan): the axon relay adds a
+        # fixed ~28 ms per jitted call, which at per-step granularity would
+        # swamp the measurement (docs/ROOFLINE.md methodology).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        seeds_all = jnp.asarray(
+            np.arange(args.reps * args.batch).reshape(args.reps, args.batch)
+            % graph.num_nodes,
+            jnp.int32,
+        )
+        seeds_sharding = NamedSharding(mesh, P(None, "data"))
+
+        def block(st, seeds_scan, g):
+            def body(s, seeds_one):
+                s, loss = trainer._train_step(s, g, seeds_one)
+                return s, loss
+
+            return jax.lax.scan(body, st, seeds_scan)
+
+        block_jit = jax.jit(
+            block,
+            in_shardings=(
+                trainer._state_shardings(state),
+                seeds_sharding,
+                trainer._graph_sharding,
+            ),
+        )
+        seeds_dev = jax.device_put(seeds_all, seeds_sharding)
+        st, losses = block_jit(state, seeds_dev, trainer.graph)
+        np.asarray(losses)  # compile + completion barrier
         t0 = time.perf_counter()
-        for _ in range(args.reps):
-            state, loss = trainer.step(state, seeds)
-        float(loss)
+        st, losses = block_jit(state, seeds_dev, trainer.graph)
+        np.asarray(losses)
         sec = (time.perf_counter() - t0) / args.reps
         eps = edges_per_step / sec
         if base_eps is None:

@@ -88,6 +88,11 @@ class GraphSAGE:
     fanouts: Sequence[int | None] = (10, 10)  # per layer; layer 0 = input-closest
     aggregator: str = "mean"  # "mean" | "maxpool"
     concat_self: bool = False  # False = reference shipped mode (Q2)
+    # GCN-style self loops: each node's own representation joins the
+    # neighbor set before the mean/max (what the reference's dead
+    # ``MeanAggregator(gcn=True)`` branch *intended* before crashing on
+    # ``set + set`` — SURVEY.md Q2). Mutually exclusive with concat_self.
+    self_loop: bool = False
     pool_dim: int | None = None
     compute_dtype: jnp.dtype | None = None  # e.g. jnp.bfloat16 for MXU
     param_dtype: jnp.dtype = jnp.float32
@@ -112,6 +117,8 @@ class GraphSAGE:
     def __post_init__(self):
         if len(self.hidden_dims) != len(self.fanouts):
             raise ValueError("hidden_dims and fanouts must have one entry per layer")
+        if self.self_loop and self.concat_self:
+            raise ValueError("self_loop and concat_self are mutually exclusive")
 
     @property
     def num_layers(self) -> int:
@@ -162,7 +169,9 @@ class GraphSAGE:
                 hop_keys[h - 1], graph.neighbors, graph.degrees, parent_ids, fanout
             )
             nmask = nmask & parent_mask[:, None]
-            if self.concat_self:
+            if self.concat_self or self.self_loop:
+                # Column 0 carries the parent: concat_self splits it off for
+                # the concat branch; self_loop leaves it *inside* the mean/max.
                 nids = jnp.concatenate([parent_ids[:, None], nids], axis=1)
                 nmask = jnp.concatenate([parent_mask[:, None], nmask], axis=1)
             ids.append(nids.reshape(-1))
@@ -306,6 +315,9 @@ class GraphSAGE:
                     hp, graph.edge_src, graph.edge_dst, graph.edge_mask,
                     graph.num_nodes, indptr=graph.indptr, impl=self.spmm_impl,
                 ).astype(jnp.float32)
+                if self.self_loop:
+                    deg = graph.degrees.astype(jnp.float32)[:, None]
+                    pre = (pre * deg + hp.astype(jnp.float32)) / (deg + 1.0)
                 if self.concat_self:
                     pre = pre + jnp.einsum(
                         "ni,io->no", h, w_self,
@@ -319,6 +331,9 @@ class GraphSAGE:
                     h, graph.edge_src, graph.edge_dst, graph.edge_mask,
                     graph.num_nodes, indptr=graph.indptr, impl=self.spmm_impl,
                 )
+                if self.self_loop:
+                    deg = graph.degrees.astype(agg.dtype)[:, None]
+                    agg = (agg * deg + h.astype(agg.dtype)) / (deg + 1.0)
             else:  # maxpool: per-node MLP once, per-edge gather, segment max
                 pooled = jax.nn.relu(
                     jnp.einsum(
@@ -332,6 +347,10 @@ class GraphSAGE:
                 agg = segment_max_csr(
                     per_edge, graph.edge_src, graph.edge_mask, graph.num_nodes
                 )
+                if self.self_loop:
+                    # pooled >= 0 (ReLU) and empty rows aggregate to 0, so a
+                    # plain elementwise max adds the self loop exactly.
+                    agg = jnp.maximum(agg, pooled.astype(agg.dtype))
             w = p.weight.astype(h.dtype)
             combined = (
                 jnp.concatenate([h, agg], axis=-1) if self.concat_self else agg
