@@ -7,12 +7,17 @@ whole sample->gather->aggregate->project pipeline traces once and compiles.
 
 Two adjacency views are kept, because different kernels want different layouts:
 
-* **ELL / padded rows** — ``neighbors[N, max_deg]`` + ``degrees[N]``. This is
-  what the fixed-fanout sampler consumes (one gather + top-k per frontier).
-  Padding slots hold ``0`` and are masked by ``degrees``.
+* **ELL / padded rows** — ``neighbors[N, W]``: the sampler's fast path (one
+  row gather + fused slot select per frontier). ``W`` is capped at
+  ``ell_width_cap`` (default 256): padding every row to the hub's degree is
+  quadratic poison on power-law graphs (the 100K-node/1M-edge synthetic has
+  max degree 13,668 vs median 15 — an uncapped table is 5.5 GB; capped,
+  100 MB). When the cap truncates (``ell_covers_all == False``) the sampler
+  switches to the CSR path: Floyd slots + ``edge_dst[indptr[v] + slot]``,
+  which stays exactly uniform over the *full* neighbor set.
 * **CSR** — ``indptr[N+1]`` + flat ``indices[E_pad]`` (+ ``edge_rows[E_pad]``
-  as COO rows for segment ops). This feeds full-graph SpMM-style aggregation
-  (segment-sum / Pallas kernels) and the edge partitioner.
+  as COO rows for segment ops). Always complete (never ELL-capped); feeds
+  full-graph SpMM aggregation, hub-row sampling, and the edge partitioner.
 
 Features and labels live alongside so a single pytree can be placed/sharded
 with one ``jax.device_put``. All metadata that must stay static under tracing
@@ -41,9 +46,10 @@ class Graph:
     static python ints baked into the compiled program.
     """
 
-    # ELL view (sampler hot path)
-    neighbors: jax.Array  # int32 [num_nodes, max_degree], padded with 0
-    degrees: jax.Array  # int32 [num_nodes]
+    # ELL view (sampler hot path); width may be capped below the true max
+    # degree (see module docstring) — CSR below is always complete.
+    neighbors: jax.Array  # int32 [num_nodes, ell_width], padded with 0
+    degrees: jax.Array  # int32 [num_nodes] — TRUE degrees (CSR row lengths)
 
     # CSR/COO view (full-graph aggregation, partitioning)
     indptr: jax.Array  # int32 [num_nodes + 1]
@@ -59,8 +65,11 @@ class Graph:
     num_nodes: int = struct.field(pytree_node=False)
     num_features: int = struct.field(pytree_node=False)
     num_classes: int = struct.field(pytree_node=False)
-    max_degree: int = struct.field(pytree_node=False)
+    max_degree: int = struct.field(pytree_node=False)  # = ELL width
     num_edges: int = struct.field(pytree_node=False)  # directed edge slots in use
+    # True when the ELL width covers every row's full neighbor list; False
+    # means hub rows overflow into CSR and ELL-only paths would truncate.
+    ell_covers_all: bool = struct.field(pytree_node=False, default=True)
 
     def __repr__(self) -> str:  # keep pytree printing readable
         return (
@@ -109,13 +118,16 @@ def build_graph(
     degree_pad_multiple: int = 8,
     edge_pad_multiple: int = 128,
     feature_dtype: jnp.dtype = jnp.float32,
+    ell_width_cap: int = 256,
 ) -> Graph:
     """Construct a :class:`Graph` from host-side numpy data.
 
-    ``max_degree`` caps padded row width; rows longer than the cap keep their
-    true degree in CSR form but the ELL view truncates (the sampler then draws
-    from the first ``max_degree`` neighbors — only relevant if a cap is forced
-    below the true max; by default the cap is the graph's max degree).
+    ``max_degree`` hard-truncates the graph: rows keep at most that many
+    neighbors in *both* views (an explicit modeling choice, kept from the
+    original API). Independently, ``ell_width_cap`` bounds only the padded
+    ELL table's width — rows longer than the cap keep their full neighbor
+    lists in CSR, and the sampler's CSR path stays uniform over them
+    (``ell_covers_all`` records whether any row overflowed).
     """
     features = np.asarray(features)
     labels = np.asarray(labels).reshape(-1).astype(np.int32)
@@ -127,22 +139,30 @@ def build_graph(
 
     edges = np.asarray(list(edges) if not isinstance(edges, np.ndarray) else edges)
     rows = adjacency_from_edges(num_nodes, edges, undirected=undirected)
+
+    if max_degree is not None:
+        # Explicit truncation: applies to the whole graph (both views).
+        trunc = max(
+            _round_up(max(max_degree, 1), degree_pad_multiple), degree_pad_multiple
+        )
+        rows = [r[:trunc] for r in rows]
     true_degrees = np.array([len(r) for r in rows], dtype=np.int32)
-
     graph_max_deg = int(true_degrees.max()) if num_nodes else 0
-    if max_degree is None:
-        max_degree = graph_max_deg
-    max_degree = max(_round_up(max(max_degree, 1), degree_pad_multiple), degree_pad_multiple)
 
-    ell = np.zeros((num_nodes, max_degree), dtype=np.int32)
-    ell_degrees = np.minimum(true_degrees, max_degree).astype(np.int32)
+    ell_width = max(
+        _round_up(max(min(graph_max_deg, ell_width_cap), 1), degree_pad_multiple),
+        degree_pad_multiple,
+    )
+    ell_covers_all = ell_width >= graph_max_deg
+
+    ell = np.zeros((num_nodes, ell_width), dtype=np.int32)
     for i, r in enumerate(rows):
-        d = ell_degrees[i]
+        d = min(len(r), ell_width)
         ell[i, :d] = r[:d]
 
-    # CSR over the (possibly truncated) same rows so both views agree.
+    # CSR over the FULL rows (never ELL-capped).
     indptr = np.zeros(num_nodes + 1, dtype=np.int32)
-    np.cumsum(ell_degrees, out=indptr[1:])
+    np.cumsum(true_degrees, out=indptr[1:])
     num_edges = int(indptr[-1])
     e_pad = max(_round_up(max(num_edges, 1), edge_pad_multiple), edge_pad_multiple)
     edge_dst = np.zeros(e_pad, dtype=np.int32)
@@ -150,8 +170,8 @@ def build_graph(
     edge_mask = np.zeros(e_pad, dtype=bool)
     pos = 0
     for i, r in enumerate(rows):
-        d = ell_degrees[i]
-        edge_dst[pos : pos + d] = r[:d]
+        d = len(r)
+        edge_dst[pos : pos + d] = r
         edge_src[pos : pos + d] = i
         pos += d
     edge_mask[:num_edges] = True
@@ -161,7 +181,7 @@ def build_graph(
 
     return Graph(
         neighbors=jnp.asarray(ell),
-        degrees=jnp.asarray(ell_degrees),
+        degrees=jnp.asarray(true_degrees),
         indptr=jnp.asarray(indptr),
         edge_dst=jnp.asarray(edge_dst),
         edge_src=jnp.asarray(edge_src),
@@ -171,6 +191,7 @@ def build_graph(
         num_nodes=num_nodes,
         num_features=num_features,
         num_classes=int(num_classes),
-        max_degree=max_degree,
+        max_degree=ell_width,
         num_edges=num_edges,
+        ell_covers_all=bool(ell_covers_all),
     )

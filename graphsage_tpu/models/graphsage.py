@@ -166,7 +166,9 @@ class GraphSAGE:
             fanout = self.fanouts[L - h]
             parent_ids, parent_mask = ids[-1], masks[-1]
             nids, nmask = sample_neighbors(
-                hop_keys[h - 1], graph.neighbors, graph.degrees, parent_ids, fanout
+                hop_keys[h - 1], graph.neighbors, graph.degrees, parent_ids, fanout,
+                indptr=graph.indptr, edge_dst=graph.edge_dst,
+                ell_covers_all=graph.ell_covers_all,
             )
             nmask = nmask & parent_mask[:, None]
             if self.concat_self or self.self_loop:

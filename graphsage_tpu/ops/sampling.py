@@ -46,12 +46,15 @@ def full_neighbors(
     degrees: jax.Array,
     nodes: jax.Array,
 ) -> tuple[jax.Array, jax.Array]:
-    """No-sampling path: every neighbor, padded to ``max_degree``.
+    """No-sampling path: every neighbor, padded to the ELL width.
 
-    Returns ``(ids[..., max_degree] int32, mask[..., max_degree] bool)``.
+    Returns ``(ids[..., width] int32, mask[..., width] bool)``. Only exact
+    when the ELL table covers all rows (``Graph.ell_covers_all``); callers
+    must route capped graphs through the CSR full-graph forward instead.
     """
     rows = neighbors[nodes]
-    mask = _slot_validity(degrees[nodes], neighbors.shape[-1])
+    width = neighbors.shape[-1]
+    mask = _slot_validity(jnp.minimum(degrees[nodes], width), width)
     return rows, mask
 
 
@@ -92,26 +95,46 @@ def sample_neighbors(
     nodes: jax.Array,
     fanout: int | None,
     method: str = "floyd",
+    indptr: jax.Array | None = None,
+    edge_dst: jax.Array | None = None,
+    ell_covers_all: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Sample up to ``fanout`` neighbors for each node in ``nodes``.
 
     Args:
       key: PRNG key.
-      neighbors: padded neighbor table ``[N, max_degree]`` (ELL view).
+      neighbors: padded neighbor table ``[N, width]`` (ELL view).
       degrees: true row lengths ``[N]``.
       nodes: node ids of any shape ``[...]``.
       fanout: neighbors to draw per node; ``None`` = all (deterministic).
       method: ``"floyd"`` (default) or ``"topk"`` — identical semantics.
+      indptr/edge_dst: CSR view; required when ``ell_covers_all=False``.
+      ell_covers_all: False when hub rows overflow the ELL width — sampling
+        then resolves slots through CSR (``edge_dst[indptr[v] + slot]``),
+        staying uniform over the full neighbor set at any degree.
 
     Returns:
       ``ids[..., k]`` int32 and ``mask[..., k]`` bool with
-      ``k = fanout`` (or ``max_degree`` when ``fanout`` is ``None``).
+      ``k = fanout`` (or the ELL width when ``fanout`` is ``None``).
       Exactly ``min(degree, fanout)`` mask entries are True per row.
     """
     if fanout is None:
+        if not ell_covers_all:
+            raise ValueError(
+                "fanout=None needs the full ELL view, but the table is capped "
+                "below the max degree — use the CSR full-graph forward instead"
+            )
         return full_neighbors(neighbors, degrees, nodes)
 
     max_deg = neighbors.shape[-1]
+
+    if not ell_covers_all:
+        if indptr is None or edge_dst is None:
+            raise ValueError("capped ELL sampling requires indptr and edge_dst")
+        slots, mask = _floyd_slots(key, degrees[nodes], fanout)
+        flat = indptr[nodes][..., None].astype(jnp.int32) + slots
+        ids = jnp.take(edge_dst, flat.reshape(-1), axis=0).reshape(slots.shape)
+        return ids.astype(jnp.int32), mask
 
     if fanout >= max_deg:
         # Every valid slot fits; pad the row out to the requested width.

@@ -143,3 +143,55 @@ def test_multi_dim_nodes(tiny_graph):
     ids, mask = sample_neighbors(jax.random.PRNGKey(0), g.neighbors, g.degrees, nodes, 2)
     assert ids.shape == (2, 2, 2)
     assert mask.shape == (2, 2, 2)
+
+
+def test_capped_ell_csr_sampling_uniform_over_full_set():
+    """Hub rows overflow the ELL cap; CSR sampling must still reach every
+    neighbor (including those beyond the cap) uniformly without replacement."""
+    import numpy as np
+    from graphsage_tpu.data.graph import build_graph
+    from graphsage_tpu.ops.sampling import sample_neighbors
+
+    hub_deg = 40
+    edges = np.array([[0, i] for i in range(1, hub_deg + 1)])
+    feats = np.zeros((hub_deg + 1, 4), np.float32)
+    g = build_graph(feats, np.zeros(hub_deg + 1), edges, num_classes=1,
+                    ell_width_cap=16)
+    assert not g.ell_covers_all
+    assert g.neighbors.shape[1] == 16
+    assert int(np.asarray(g.degrees)[0]) == hub_deg  # CSR keeps the full row
+
+    k = 8
+    counts = np.zeros(hub_deg + 1)
+    nodes = jnp.zeros((64,), jnp.int32)  # 64 copies of the hub
+    for t in range(30):
+        ids, mask = sample_neighbors(
+            jax.random.PRNGKey(t), g.neighbors, g.degrees, nodes, k,
+            indptr=g.indptr, edge_dst=g.edge_dst, ell_covers_all=False,
+        )
+        ids, mask = np.asarray(ids), np.asarray(mask)
+        assert mask.all()  # deg 40 >= k
+        for row in ids:
+            assert len(set(row.tolist())) == k  # without replacement
+            assert set(row.tolist()) <= set(range(1, hub_deg + 1))
+        np.add.at(counts, ids.reshape(-1), 1)
+    # Uniform marginals over ALL 40 neighbors, not just the first 16.
+    tail = counts[17:]
+    assert (tail > 0).all()
+    rel = counts[1:] / counts[1:].mean()
+    assert rel.min() > 0.7 and rel.max() < 1.3
+
+
+def test_capped_ell_full_neighbors_raises():
+    import numpy as np
+    from graphsage_tpu.data.graph import build_graph
+    from graphsage_tpu.ops.sampling import sample_neighbors
+
+    edges = np.array([[0, i] for i in range(1, 30)])
+    g = build_graph(np.zeros((30, 4), np.float32), np.zeros(30), edges,
+                    num_classes=1, ell_width_cap=8)
+    with pytest.raises(ValueError):
+        sample_neighbors(
+            jax.random.PRNGKey(0), g.neighbors, g.degrees,
+            jnp.zeros((4,), jnp.int32), None, ell_covers_all=False,
+        )
