@@ -78,34 +78,38 @@ class Graph:
         )
 
 
+def sorted_unique_edges(
+    num_nodes: int,
+    edges: np.ndarray,
+    undirected: bool = True,
+) -> np.ndarray:
+    """Deduplicated directed edge array [E, 2], sorted by (src, dst).
+
+    Matches the reference's semantics: self-loops are kept only if present in
+    the input (the reference adds none), duplicates collapse (set semantics,
+    reference model.py:61-62), and ``undirected=True`` mirrors every edge.
+    Fully vectorized — no per-row Python (a 1M-node/40M-edge build must not
+    manipulate a million Python objects).
+    """
+    edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    if undirected and len(edges):
+        edges = np.concatenate([edges, edges[:, ::-1]], axis=0)
+    if not len(edges):
+        return np.zeros((0, 2), dtype=np.int64)
+    keys = edges[:, 0] * np.int64(num_nodes) + edges[:, 1]
+    uniq = np.unique(keys)  # sorted => (src, dst) lexicographic order
+    return np.stack([uniq // num_nodes, uniq % num_nodes], axis=1)
+
+
 def adjacency_from_edges(
     num_nodes: int,
     edges: np.ndarray,
     undirected: bool = True,
 ) -> list[np.ndarray]:
-    """Build deduplicated sorted neighbor lists from an edge array [E, 2].
-
-    Matches the reference's semantics: self-loops are kept only if present in
-    the input (the reference adds none), duplicates collapse (set semantics,
-    reference model.py:61-62), and ``undirected=True`` mirrors every edge.
-    """
-    edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
-    if undirected and len(edges):
-        edges = np.concatenate([edges, edges[:, ::-1]], axis=0)
-    # Deduplicate (src, dst) pairs, then split by src.
-    if len(edges):
-        keys = edges[:, 0] * np.int64(num_nodes) + edges[:, 1]
-        _, uniq_idx = np.unique(keys, return_index=True)
-        edges = edges[np.sort(uniq_idx)]
-        order = np.argsort(edges[:, 0], kind="stable")
-        edges = edges[order]
-    counts = np.bincount(edges[:, 0], minlength=num_nodes) if len(edges) else np.zeros(
-        num_nodes, dtype=np.int64
-    )
-    splits = np.cumsum(counts)[:-1]
-    dsts = edges[:, 1] if len(edges) else np.zeros((0,), dtype=np.int64)
-    rows = np.split(dsts, splits)
-    return [np.sort(r) for r in rows]
+    """Per-row sorted neighbor lists (small-graph/test convenience API)."""
+    e = sorted_unique_edges(num_nodes, edges, undirected=undirected)
+    counts = np.bincount(e[:, 0], minlength=num_nodes)
+    return np.split(e[:, 1], np.cumsum(counts)[:-1])
 
 
 def build_graph(
@@ -138,16 +142,22 @@ def build_graph(
         num_classes = int(labels.max()) + 1 if num_nodes else 0
 
     edges = np.asarray(list(edges) if not isinstance(edges, np.ndarray) else edges)
-    rows = adjacency_from_edges(num_nodes, edges, undirected=undirected)
+    e = sorted_unique_edges(num_nodes, edges, undirected=undirected)
+    src, dst = e[:, 0], e[:, 1]
+    counts = np.bincount(src, minlength=num_nodes)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(len(src), dtype=np.int64) - starts[src]  # slot within row
 
     if max_degree is not None:
         # Explicit truncation: applies to the whole graph (both views).
         trunc = max(
             _round_up(max(max_degree, 1), degree_pad_multiple), degree_pad_multiple
         )
-        rows = [r[:trunc] for r in rows]
-    true_degrees = np.array([len(r) for r in rows], dtype=np.int32)
-    graph_max_deg = int(true_degrees.max()) if num_nodes else 0
+        keep = rank < trunc
+        src, dst, rank = src[keep], dst[keep], rank[keep]
+        counts = np.minimum(counts, trunc)
+    true_degrees = counts.astype(np.int32)
+    graph_max_deg = int(true_degrees.max()) if num_nodes and len(src) else 0
 
     ell_width = max(
         _round_up(max(min(graph_max_deg, ell_width_cap), 1), degree_pad_multiple),
@@ -156,9 +166,8 @@ def build_graph(
     ell_covers_all = ell_width >= graph_max_deg
 
     ell = np.zeros((num_nodes, ell_width), dtype=np.int32)
-    for i, r in enumerate(rows):
-        d = min(len(r), ell_width)
-        ell[i, :d] = r[:d]
+    in_ell = rank < ell_width
+    ell[src[in_ell], rank[in_ell]] = dst[in_ell]
 
     # CSR over the FULL rows (never ELL-capped).
     indptr = np.zeros(num_nodes + 1, dtype=np.int32)
@@ -168,12 +177,8 @@ def build_graph(
     edge_dst = np.zeros(e_pad, dtype=np.int32)
     edge_src = np.zeros(e_pad, dtype=np.int32)
     edge_mask = np.zeros(e_pad, dtype=bool)
-    pos = 0
-    for i, r in enumerate(rows):
-        d = len(r)
-        edge_dst[pos : pos + d] = r
-        edge_src[pos : pos + d] = i
-        pos += d
+    edge_dst[:num_edges] = dst
+    edge_src[:num_edges] = src
     edge_mask[:num_edges] = True
     # Padding edges point at node 0 with src num_nodes-1 so segment ops stay in range.
     if num_edges < e_pad and num_nodes:
