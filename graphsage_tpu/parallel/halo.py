@@ -121,14 +121,9 @@ def build_node_partition(graph: Graph, num_shards: int) -> NodePartition:
 
     # send_plan[t, s] = local indices (u - offset_t) of rows t sends to s.
     send_plan = np.zeros((num_shards, num_shards, m), dtype=np.int32)
-    # position map for edge slot computation: pos[s][t][u] = index in need[s][t]
-    pos_maps: list[dict[int, dict[int, int]]] = []
     for s in range(num_shards):
-        pm: dict[int, dict[int, int]] = {}
         for t, uniq in need[s].items():
             send_plan[t, s, : len(uniq)] = uniq - offsets[t]
-            pm[t] = {int(u): i for i, u in enumerate(uniq)}
-        pos_maps.append(pm)
 
     ep = _round_up(max(1, max(len(r) for r, _ in shard_edges)), 128)
     edge_row = np.zeros((num_shards, ep), dtype=np.int32)
@@ -139,14 +134,22 @@ def build_node_partition(graph: Graph, num_shards: int) -> NodePartition:
         cnt = len(rows)
         edge_row[s, :cnt] = rows
         edge_mask[s, :cnt] = True
+        # Vectorized slot resolution: local rows index [0, Np); remote rows
+        # index the halo section via searchsorted into the (sorted, unique)
+        # per-pair request list — no per-edge Python.
         owners = owner_of[dst] if cnt else np.zeros(0, dtype=np.int64)
         slots = np.empty(cnt, dtype=np.int32)
-        for i in range(cnt):
-            u, t = int(dst[i]), int(owners[i])
+        local_sel = owners == s
+        slots[local_sel] = (dst[local_sel] - offsets[s]).astype(np.int32)
+        for t in range(num_shards):
             if t == s:
-                slots[i] = u - offsets[s]
-            else:
-                slots[i] = np_pad + t * m + pos_maps[s][t][u]
+                continue
+            sel = owners == t
+            if not sel.any():
+                continue
+            slots[sel] = (
+                np_pad + t * m + np.searchsorted(need[s][t], dst[sel])
+            ).astype(np.int32)
         edge_slot[s, :cnt] = slots
         # padded edges keep row 0 / slot 0 (masked)
 
