@@ -47,6 +47,11 @@ class TrainConfig:
     batching: str = "epoch"
     eval_fanouts: Optional[Sequence[Optional[int]]] = None  # None = no sampling at eval
     log_every: int = 1
+    # Steps executed per device dispatch (lax.scan block). Host<->device
+    # dispatch costs ~28 ms under the axon relay, so per-step dispatch
+    # (steps_per_dispatch=1) makes wall-clock ~50x worse at Cora scale;
+    # per-step loss lines are still printed (from the block's loss array).
+    steps_per_dispatch: int = 50
 
 
 @dataclasses.dataclass(frozen=True)

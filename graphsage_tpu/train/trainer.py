@@ -85,6 +85,7 @@ class Trainer:
                 f"consume them all"
             )
         self._jit_step = jax.jit(self._train_step, donate_argnums=(0,))
+        self._jit_block = jax.jit(self._train_block, donate_argnums=(0,))
         self._jit_full_logits = jax.jit(
             lambda params, graph: self.model.forward_full_graph(params, graph)
         )
@@ -126,6 +127,19 @@ class Trainer:
         seeds = jnp.asarray(seeds, dtype=jnp.int32)
         state, loss = self._jit_step(state, self.graph, seeds)
         return state, loss
+
+    def _train_block(
+        self, state: TrainState, graph: Graph, seeds_all: jax.Array
+    ) -> tuple[TrainState, jax.Array]:
+        """``steps_per_dispatch`` train steps in one compiled scan — one
+        host->device dispatch instead of one per step (~28 ms each under the
+        relay)."""
+
+        def body(st, seeds):
+            st, loss = self._train_step(st, graph, seeds)
+            return st, loss
+
+        return jax.lax.scan(body, state, seeds_all)
 
     # ------------------------------------------------------------------ batches
     def batches(self):
@@ -200,22 +214,40 @@ class Trainer:
         cfg = self.cfg
         state = self.init_state()
         batch_iter = self.batches()
+        # Short runs keep the legacy per-step loop (its steady-state timing
+        # excludes the first-step compile); longer runs scan
+        # ``steps_per_dispatch`` steps per device dispatch.
+        block = max(1, int(cfg.steps_per_dispatch))
+        if cfg.num_steps < 2 * block:
+            block = 1
 
-        # Warm-up compile outside the timed region (first call traces).
         losses: list[float] = []
-        times: list[float] = []
-        for i in range(cfg.num_steps):
-            seeds = next(batch_iter)
-            t0 = time.perf_counter()
-            state, loss = self.step(state, seeds)
-            loss = float(loss)  # blocks until the step finishes
-            times.append(time.perf_counter() - t0)
-            losses.append(loss)
-            if log and cfg.log_every and i % cfg.log_every == 0:
-                log(f"{i} {loss}")
+        times: list[float] = []  # per-step, one entry per dispatched block
+        done = 0
+        while done < cfg.num_steps:
+            n = min(block, cfg.num_steps - done)
+            if n > 1:
+                seeds_all = jnp.asarray(
+                    np.stack([next(batch_iter) for _ in range(n)]), jnp.int32
+                )
+                t0 = time.perf_counter()
+                state, block_losses = self._jit_block(state, self.graph, seeds_all)
+                block_losses = np.asarray(block_losses)  # completion barrier
+                times.append((time.perf_counter() - t0) / n)
+                block_losses = [float(l) for l in block_losses]
+            else:
+                t0 = time.perf_counter()
+                state, loss = self.step(state, next(batch_iter))
+                block_losses = [float(loss)]
+                times.append(time.perf_counter() - t0)
+            for j, l in enumerate(block_losses):
+                losses.append(l)
+                if log and cfg.log_every and (done + j) % cfg.log_every == 0:
+                    log(f"{done + j} {l}")
+            done += n
 
         val = self.evaluate(state, self.val_nodes)
-        # Skip the compile step when reporting mean time.
+        # Skip the compile block when reporting mean time.
         steady = times[1:] if len(times) > 1 else times
         result = {
             "losses": losses,
