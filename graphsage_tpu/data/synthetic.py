@@ -170,12 +170,20 @@ def power_law_graph(
     seed: int = 0,
     max_degree: int | None = None,
     feature_dtype=None,
+    homophily: float = 0.0,
 ) -> Graph:
     """In-memory synthetic power-law graph (preferential-attachment style).
 
     Degree distribution is heavy-tailed: edge endpoints are drawn from a
     Zipf-like node distribution. Used by the scaling benchmarks
     (BASELINE.json config #4) where file parsing would only add noise.
+
+    ``homophily`` redraws that fraction of edge destinations from the
+    source's class (vectorized) — with 0 (default) edges are label-random,
+    which makes the graph *unlearnable* in the reference's shipped
+    pure-neighbor-mean mode (a node's own features never reach its logits,
+    quirk Q2); training presets pass ~0.8 so their loss curves mean
+    something, while pure-throughput benches keep 0.
     """
     rng = np.random.default_rng(seed)
     # Zipf weights over a random node permutation so hubs are spread out.
@@ -183,8 +191,16 @@ def power_law_graph(
     weights = 1.0 / ranks**0.75
     weights /= weights.sum()
 
+    labels_early = rng.integers(0, num_classes, num_nodes).astype(np.int32)
     src = rng.choice(num_nodes, size=num_edges, p=weights)
     dst = rng.integers(0, num_nodes, size=num_edges)
+    if homophily > 0.0:
+        order = np.argsort(labels_early, kind="stable")
+        counts = np.maximum(np.bincount(labels_early, minlength=num_classes), 1)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        c = labels_early[src]
+        pick = order[starts[c] + (rng.random(num_edges) * counts[c]).astype(np.int64)]
+        dst = np.where(rng.random(num_edges) < homophily, pick, dst)
     keep = src != dst
     edges = np.stack([src[keep], dst[keep]], axis=1).astype(np.int64)
     # Guarantee min degree 1: chain isolated nodes to their successor.
@@ -195,7 +211,7 @@ def power_law_graph(
         extra = np.stack([isolated, (isolated + 1) % num_nodes], axis=1)
         edges = np.concatenate([edges, extra], axis=0)
 
-    labels = rng.integers(0, num_classes, num_nodes).astype(np.int32)
+    labels = labels_early
     centers = rng.normal(size=(num_classes, num_feats)).astype(np.float32)
     features = centers[labels] + 0.5 * rng.normal(size=(num_nodes, num_feats)).astype(
         np.float32

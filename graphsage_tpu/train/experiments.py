@@ -29,8 +29,12 @@ def load_dataset(name: str, data_root: str | None = None) -> Graph:
     if name == "pubmed":
         return load_pubmed(data_root or "pubmed-data")
     if name == "powerlaw":
+        # homophily makes the preset learnable in pure-neighbor-mean mode
+        # (see power_law_graph); throughput benches construct their own
+        # graphs with the default 0.
         return power_law_graph(
-            num_nodes=100_000, num_edges=2_000_000, num_feats=256, num_classes=16
+            num_nodes=100_000, num_edges=2_000_000, num_feats=256,
+            num_classes=16, homophily=0.8,
         )
     raise ValueError(f"unknown dataset {name!r}")
 
