@@ -182,9 +182,14 @@ class GraphSAGE:
 
     # ------------------------------------------------------------- forward
     def forward(
-        self, params: SAGEParams, features: jax.Array, frontier: Frontier
+        self,
+        params: SAGEParams,
+        features: jax.Array,
+        frontier: Frontier,
+        return_embeddings: bool = False,
     ) -> jax.Array:
-        """Logits ``[B, num_classes]`` for the frontier's seed batch."""
+        """Logits ``[B, num_classes]`` for the frontier's seed batch
+        (or the pre-head representations with ``return_embeddings``)."""
         L = self.num_layers
         start_l = 0
         if self.aggregator == "mean":
@@ -275,6 +280,8 @@ class GraphSAGE:
                 compute_dtype=self.compute_dtype,
                 precision=self.matmul_precision,
             )
+        if return_embeddings:
+            return h.astype(jnp.float32)
         logits = jnp.einsum(
             "bd,dc->bc", h, params.head.astype(h.dtype),
             preferred_element_type=jnp.float32, precision=self.matmul_precision,
@@ -288,8 +295,27 @@ class GraphSAGE:
         frontier = self.sample(key, graph, seeds)
         return self.forward(params, graph.features, frontier)
 
+    # ------------------------------------------------------------ embeddings
+    def embed(
+        self, params: SAGEParams, key: jax.Array, graph: Graph, seeds: jax.Array
+    ) -> jax.Array:
+        """Node representations ``[B, hidden[-1]]`` (the layer the head
+        consumes — what the reference exposes as ``enc(nodes)``,
+        model.py:31). Sampled path; for deterministic full-neighborhood
+        embeddings of every node use :meth:`embed_full_graph`."""
+        frontier = self.sample(key, graph, seeds)
+        return self.forward(
+            params, graph.features, frontier, return_embeddings=True
+        )
+
+    def embed_full_graph(self, params: SAGEParams, graph: Graph) -> jax.Array:
+        """Deterministic embeddings ``[N, hidden[-1]]`` for every node."""
+        return self.forward_full_graph(params, graph, return_embeddings=True)
+
     # --------------------------------------------------------- full graph
-    def forward_full_graph(self, params: SAGEParams, graph: Graph) -> jax.Array:
+    def forward_full_graph(
+        self, params: SAGEParams, graph: Graph, return_embeddings: bool = False
+    ) -> jax.Array:
         """Deterministic logits for every node, using complete neighborhoods.
 
         Equivalent to the reference with ``num_sample=None`` (quirk Q7) run on
@@ -363,6 +389,8 @@ class GraphSAGE:
                     preferred_element_type=jnp.float32, precision=self.matmul_precision,
                 )
             ).astype(h.dtype)
+        if return_embeddings:
+            return h.astype(jnp.float32)
         logits = jnp.einsum(
             "nd,dc->nc", h, params.head.astype(h.dtype),
             preferred_element_type=jnp.float32, precision=self.matmul_precision,

@@ -80,3 +80,35 @@ def restore_checkpoint(path: str | os.PathLike, template: T) -> T:
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(template), leaves
     )
+
+
+# ---------------------------------------------------------------- orbax
+# Async, multi-host-aware checkpointing for production runs; the npz format
+# above stays the zero-dependency portable default.
+
+
+def save_checkpoint_orbax(path: str | os.PathLike, state: Any) -> str:
+    """Write ``state`` with orbax (directory checkpoint; multi-host safe)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.fspath(path))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+    return path
+
+
+def restore_checkpoint_orbax(path: str | os.PathLike, template: T) -> T:
+    """Restore an orbax checkpoint into ``template``'s structure/dtypes."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.fspath(path))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restore_args = jax.tree_util.tree_map(
+            lambda leaf: ocp.ArrayRestoreArgs(dtype=np.asarray(leaf).dtype),
+            template,
+        )
+        return ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(
+                item=template, restore_args=restore_args
+            ),
+        )

@@ -69,3 +69,47 @@ def test_restore_missing_file_raises(tmp_path, setup):
     _, _, trainer = setup
     with pytest.raises(FileNotFoundError):
         restore_checkpoint(tmp_path / "nope", trainer.init_state())
+
+
+def test_embed_api_matches_head_input(tmp_path):
+    """model.embed returns the representation the head consumes."""
+    import jax
+    import jax.numpy as jnp
+    from graphsage_tpu.data.synthetic import power_law_graph
+    from graphsage_tpu.models.graphsage import GraphSAGE
+
+    g = power_law_graph(num_nodes=50, num_edges=120, num_feats=12, num_classes=3, seed=0)
+    model = GraphSAGE(in_dim=12, num_classes=3, hidden_dims=(6, 6), fanouts=(3, 3),
+                      matmul_precision="highest", gather_impl="take")
+    params = model.init(jax.random.PRNGKey(0))
+    seeds = jnp.arange(16, dtype=jnp.int32)
+    key = jax.random.PRNGKey(1)
+    emb = model.embed(params, key, g, seeds)
+    assert emb.shape == (16, 6)
+    logits = model.apply(params, key, g, seeds)
+    np.testing.assert_allclose(
+        np.asarray(emb @ params.head), np.asarray(logits), rtol=1e-5, atol=1e-6
+    )
+    emb_fg = model.embed_full_graph(params, g)
+    assert emb_fg.shape == (50, 6)
+    logits_fg = model.forward_full_graph(params, g)
+    np.testing.assert_allclose(
+        np.asarray(emb_fg @ params.head), np.asarray(logits_fg), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_orbax_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from graphsage_tpu.utils.checkpoint import (
+        restore_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    state = {"a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+             "b": {"c": jnp.ones((4,), jnp.int32)}}
+    p = save_checkpoint_orbax(tmp_path / "ckpt_orbax", state)
+    template = jax.tree_util.tree_map(jnp.zeros_like, state)
+    back = restore_checkpoint_orbax(p, template)
+    for k in ("a",):
+        np.testing.assert_array_equal(np.asarray(back[k]), np.asarray(state[k]))
+    np.testing.assert_array_equal(np.asarray(back["b"]["c"]), np.asarray(state["b"]["c"]))
