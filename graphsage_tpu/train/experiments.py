@@ -62,11 +62,14 @@ def run_preset(
     overrides: dict[str, Any] | None = None,
     checkpoint_path: str | None = None,
     mode: str = "sampled",
+    resume_path: str | None = None,
 ) -> dict[str, Any]:
     """Train one of the BASELINE.json preset configs end to end.
 
     ``mode``: "sampled" (minibatch neighbor sampling, the reference's
-    training scheme) or "full-graph" (transductive full-batch)."""
+    training scheme) or "full-graph" (transductive full-batch).
+    ``resume_path``: restore a checkpoint written by ``checkpoint_path``
+    and continue training from it (checkpoint-restart, SURVEY.md §5.3/5.4)."""
     config = PRESETS[name]
     if overrides:
         train_over = {k: v for k, v in overrides.items()
@@ -91,7 +94,15 @@ def run_preset(
         trainer = Trainer(model, graph, config.train)
     else:
         raise ValueError(f"unknown mode {mode!r}")
-    result = trainer.run(log=log)
+    initial_state = None
+    if resume_path:
+        from graphsage_tpu.utils.checkpoint import restore_checkpoint
+
+        initial_state = restore_checkpoint(resume_path, trainer.init_state())
+        if log:
+            log(f"resumed from {resume_path} at step "
+                f"{int(initial_state.step)}")
+    result = trainer.run(log=log, initial_state=initial_state)
     if checkpoint_path:
         from graphsage_tpu.utils.checkpoint import save_checkpoint
 
@@ -132,6 +143,11 @@ def main(argv: Optional[list[str]] = None) -> None:
     parser.add_argument("--test-size", type=int, default=None)
     parser.add_argument("--val-size", type=int, default=None)
     parser.add_argument("--checkpoint", default=None, help="write final state here")
+    parser.add_argument("--resume", default=None,
+                        help="restore this checkpoint and continue training")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="enable jax_debug_nans (fail fast on NaN, "
+                        "SURVEY.md §5.2 — e.g. Q4-class bugs)")
     parser.add_argument("--quiet", action="store_true", help="suppress per-step loss")
     parser.add_argument("--log-jsonl", default=None,
                         help="append structured metrics records to this file")
@@ -155,12 +171,18 @@ def main(argv: Optional[list[str]] = None) -> None:
     if args.quiet:
         overrides["log_every"] = 0
 
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
     result = run_preset(
         args.preset,
         data_root=args.data_root,
         overrides=overrides or None,
         checkpoint_path=args.checkpoint,
         mode=args.mode,
+        resume_path=args.resume,
     )
     if args.log_jsonl:
         from graphsage_tpu.utils.logging import MetricsLogger

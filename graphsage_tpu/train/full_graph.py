@@ -110,8 +110,12 @@ class FullGraphTrainer:
             "macro_f1": macro_f1(truth, preds, self.graph.num_classes),
         }
 
-    def run(self, log: Callable[[str], None] | None = print) -> dict[str, Any]:
-        state = self.init_state()
+    def run(
+        self,
+        log: Callable[[str], None] | None = print,
+        initial_state: Optional[TrainState] = None,
+    ) -> dict[str, Any]:
+        state = initial_state if initial_state is not None else self.init_state()
         losses, times = [], []
         # Same dispatch policy as Trainer.run: per-step for short runs (the
         # steady mean then excludes the first-step compile), scanned blocks

@@ -203,16 +203,19 @@ class Trainer:
 
     # --------------------------------------------------------------------- run
     def run(
-        self, log: Callable[[str], None] | None = print
+        self,
+        log: Callable[[str], None] | None = print,
+        initial_state: TrainState | None = None,
     ) -> dict[str, Any]:
         """Train for ``num_steps`` batches; return losses, timings and val F1.
 
         Mirrors the reference driver's observable behavior: per-step loss
         lines, then validation micro-F1 and mean step time
-        (reference model.py:100-106).
+        (reference model.py:100-106). ``initial_state`` resumes from a
+        restored checkpoint instead of a fresh init.
         """
         cfg = self.cfg
-        state = self.init_state()
+        state = initial_state if initial_state is not None else self.init_state()
         batch_iter = self.batches()
         # Short runs keep the legacy per-step loop (its steady-state timing
         # excludes the first-step compile); longer runs scan
