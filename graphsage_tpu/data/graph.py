@@ -70,6 +70,9 @@ class Graph:
     # True when the ELL width covers every row's full neighbor list; False
     # means hub rows overflow into CSR and ELL-only paths would truncate.
     ell_covers_all: bool = struct.field(pytree_node=False, default=True)
+    # True when the adjacency is symmetric (built undirected, no per-row
+    # truncation) — enables the fused Pallas SpMM backward (A == A^T).
+    symmetric: bool = struct.field(pytree_node=False, default=True)
 
     def __repr__(self) -> str:  # keep pytree printing readable
         return (
@@ -199,4 +202,7 @@ def build_graph(
         max_degree=ell_width,
         num_edges=num_edges,
         ell_covers_all=bool(ell_covers_all),
+        # Per-row truncation (explicit max_degree) drops (u,v) without
+        # dropping (v,u) — the result is generally asymmetric.
+        symmetric=bool(undirected and max_degree is None),
     )

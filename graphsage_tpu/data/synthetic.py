@@ -196,11 +196,20 @@ def power_law_graph(
     dst = rng.integers(0, num_nodes, size=num_edges)
     if homophily > 0.0:
         order = np.argsort(labels_early, kind="stable")
-        counts = np.maximum(np.bincount(labels_early, minlength=num_classes), 1)
+        counts = np.bincount(labels_early, minlength=num_classes)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         c = labels_early[src]
-        pick = order[starts[c] + (rng.random(num_edges) * counts[c]).astype(np.int64)]
-        dst = np.where(rng.random(num_edges) < homophily, pick, dst)
+        # Empty classes keep the original random destination (clamping
+        # counts before the cumsum would shift `starts` off `order`).
+        safe = np.maximum(counts[c], 1)
+        pick = order[
+            np.minimum(
+                starts[c] + (rng.random(num_edges) * safe).astype(np.int64),
+                num_nodes - 1,
+            )
+        ]
+        redraw = (rng.random(num_edges) < homophily) & (counts[c] > 0)
+        dst = np.where(redraw, pick, dst)
     keep = src != dst
     edges = np.stack([src[keep], dst[keep]], axis=1).astype(np.int64)
     # Guarantee min degree 1: chain isolated nodes to their successor.

@@ -43,6 +43,7 @@ from flax import struct
 from graphsage_tpu.data.graph import Graph
 from graphsage_tpu.models.layers import (
     SAGELayerParams,
+    apply_full_graph_mean_layer,
     apply_sage_layer,
     init_sage_layer,
     split_mean_weight,
@@ -327,58 +328,43 @@ class GraphSAGE:
         h = graph.features
         if self.compute_dtype is not None:
             h = h.astype(self.compute_dtype)
+        def spmm(x):
+            mean = spmm_mean(
+                x, graph.edge_src, graph.edge_dst, graph.edge_mask,
+                graph.num_nodes, indptr=graph.indptr, impl=self.spmm_impl,
+                symmetric=graph.symmetric,
+            )
+            return mean, graph.degrees
+
         for l in range(self.num_layers):
             p = params.layers[l]
             d_in = h.shape[-1]
-            if self.aggregator == "mean" and self.use_project_first(l, d_in):
-                # Project-then-aggregate: the SpMM moves d_out-wide rows.
-                w = p.weight.astype(h.dtype)
-                w_self, w_neigh = split_mean_weight(w, d_in, self.concat_self)
-                hp = jnp.einsum(
-                    "ni,io->no", h, w_neigh,
+            if self.aggregator == "mean":
+                h = apply_full_graph_mean_layer(
+                    p, h, spmm,
+                    concat_self=self.concat_self,
+                    self_loop=self.self_loop,
+                    project_first=self.use_project_first(l, d_in),
+                    precision=self.matmul_precision,
+                )
+                continue
+            # maxpool: per-node MLP once, per-edge gather, segment max
+            pooled = jax.nn.relu(
+                jnp.einsum(
+                    "ni,io->no", h, p.pool_weight.astype(h.dtype),
                     preferred_element_type=jnp.float32,
                     precision=self.matmul_precision,
-                ).astype(h.dtype)
-                pre = spmm_mean(
-                    hp, graph.edge_src, graph.edge_dst, graph.edge_mask,
-                    graph.num_nodes, indptr=graph.indptr, impl=self.spmm_impl,
-                ).astype(jnp.float32)
-                if self.self_loop:
-                    deg = graph.degrees.astype(jnp.float32)[:, None]
-                    pre = (pre * deg + hp.astype(jnp.float32)) / (deg + 1.0)
-                if self.concat_self:
-                    pre = pre + jnp.einsum(
-                        "ni,io->no", h, w_self,
-                        preferred_element_type=jnp.float32,
-                        precision=self.matmul_precision,
-                    )
-                h = jax.nn.relu(pre).astype(h.dtype)
-                continue
-            if self.aggregator == "mean":
-                agg = spmm_mean(
-                    h, graph.edge_src, graph.edge_dst, graph.edge_mask,
-                    graph.num_nodes, indptr=graph.indptr, impl=self.spmm_impl,
                 )
-                if self.self_loop:
-                    deg = graph.degrees.astype(agg.dtype)[:, None]
-                    agg = (agg * deg + h.astype(agg.dtype)) / (deg + 1.0)
-            else:  # maxpool: per-node MLP once, per-edge gather, segment max
-                pooled = jax.nn.relu(
-                    jnp.einsum(
-                        "ni,io->no", h, p.pool_weight.astype(h.dtype),
-                        preferred_element_type=jnp.float32,
-                        precision=self.matmul_precision,
-                    )
-                    + p.pool_bias.astype(h.dtype)
-                ).astype(h.dtype)
-                per_edge = jnp.take(pooled, graph.edge_dst, axis=0)
-                agg = segment_max_csr(
-                    per_edge, graph.edge_src, graph.edge_mask, graph.num_nodes
-                )
-                if self.self_loop:
-                    # pooled >= 0 (ReLU) and empty rows aggregate to 0, so a
-                    # plain elementwise max adds the self loop exactly.
-                    agg = jnp.maximum(agg, pooled.astype(agg.dtype))
+                + p.pool_bias.astype(h.dtype)
+            ).astype(h.dtype)
+            per_edge = jnp.take(pooled, graph.edge_dst, axis=0)
+            agg = segment_max_csr(
+                per_edge, graph.edge_src, graph.edge_mask, graph.num_nodes
+            )
+            if self.self_loop:
+                # pooled >= 0 (ReLU) and empty rows aggregate to 0, so a
+                # plain elementwise max adds the self loop exactly.
+                agg = jnp.maximum(agg, pooled.astype(agg.dtype))
             w = p.weight.astype(h.dtype)
             combined = (
                 jnp.concatenate([h, agg], axis=-1) if self.concat_self else agg

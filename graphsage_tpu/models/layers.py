@@ -86,6 +86,53 @@ def init_sage_layer(
     return SAGELayerParams(weight=weight, pool_weight=pool_weight, pool_bias=pool_bias)
 
 
+def apply_full_graph_mean_layer(
+    p: SAGELayerParams,
+    h: jax.Array,  # [..., N_local, d_in]
+    spmm,  # Callable[[x], (neigh_mean [..., N_local, d], valid_count [..., N_local])]
+    *,
+    concat_self: bool,
+    self_loop: bool,
+    project_first: bool,
+    precision=None,
+) -> jax.Array:
+    """One full-graph mean layer, shared by the single-device, the
+    edge-partitioned, and the halo-exchange paths (they differ only in the
+    ``spmm`` closure). Keeping this logic in ONE place is what guarantees the
+    distributed paths stay allclose to :meth:`GraphSAGE.forward_full_graph`
+    across every mode (concat_self / self_loop / project_first)."""
+    d_in = h.shape[-1]
+    w = p.weight.astype(h.dtype)
+    if project_first:
+        w_self, w_neigh = split_mean_weight(w, d_in, concat_self)
+        hp = jnp.einsum(
+            "...i,io->...o", h, w_neigh,
+            preferred_element_type=jnp.float32, precision=precision,
+        ).astype(h.dtype)
+        mean, cnt = spmm(hp)
+        pre = mean.astype(jnp.float32)
+        if self_loop:
+            c = cnt.astype(jnp.float32)[..., None]
+            pre = (pre * c + hp.astype(jnp.float32)) / (c + 1.0)
+        if concat_self:
+            pre = pre + jnp.einsum(
+                "...i,io->...o", h, w_self,
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+        return jax.nn.relu(pre).astype(h.dtype)
+    mean, cnt = spmm(h)
+    if self_loop:
+        c = cnt.astype(mean.dtype)[..., None]
+        mean = (mean * c + h.astype(mean.dtype)) / (c + 1.0)
+    combined = jnp.concatenate([h, mean], axis=-1) if concat_self else mean
+    return jax.nn.relu(
+        jnp.einsum(
+            "...i,io->...o", combined, w,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+    ).astype(h.dtype)
+
+
 def apply_sage_layer(
     params: SAGELayerParams,
     self_feats: jax.Array | None,  # [..., in_dim] or None when concat_self=False

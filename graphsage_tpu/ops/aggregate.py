@@ -214,6 +214,7 @@ def spmm_mean(
     num_nodes: int,
     indptr: jax.Array | None = None,
     impl: str = "auto",
+    symmetric: bool = True,
 ) -> jax.Array:
     """Full-graph mean aggregation: ``out[v] = mean_{(v,u) in E} features[u]``.
 
@@ -240,7 +241,7 @@ def spmm_mean(
             impl = "xla"
         else:
             return pallas_spmm.spmm_mean_vmem(
-                features, indptr, edge_dst,
+                features, indptr, edge_dst, symmetric,
                 interpret=jax.default_backend() in ("cpu",),
             )
     if impl == "xla":

@@ -131,6 +131,11 @@ def sample_neighbors(
     if not ell_covers_all:
         if indptr is None or edge_dst is None:
             raise ValueError("capped ELL sampling requires indptr and edge_dst")
+        if method != "floyd":
+            raise ValueError(
+                f"method={method!r} is ELL-only; capped graphs sample via CSR "
+                "(floyd)"
+            )
         slots, mask = _floyd_slots(key, degrees[nodes], fanout)
         flat = indptr[nodes][..., None].astype(jnp.int32) + slots
         ids = jnp.take(edge_dst, flat.reshape(-1), axis=0).reshape(slots.shape)

@@ -49,8 +49,9 @@ def sharded_spmm_mean(
 
     Each shard: gather its edges' source features, local segment-sum into
     [N, F] partials + [N] counts; then one psum of both across the axis.
-    Output is replicated. Differentiable (shard_map supports autodiff; the
-    cotangent of the psum is the identity broadcast).
+    Returns ``(mean [N, F], valid_count [N])``, both replicated.
+    Differentiable (shard_map supports autodiff; the cotangent of the psum
+    is the identity broadcast).
     """
 
     def local(feats, src, dst, mask):
@@ -61,13 +62,13 @@ def sharded_spmm_mean(
         count = jax.ops.segment_sum(w, src, num_segments=num_nodes)
         summed = jax.lax.psum(summed, axis)
         count = jax.lax.psum(count, axis)
-        return summed / jnp.maximum(count, 1.0)[:, None]
+        return summed / jnp.maximum(count, 1.0)[:, None], count
 
     return shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis)),
-        out_specs=P(),
+        out_specs=(P(), P()),
     )(features, part.edge_src, part.edge_dst, part.edge_mask)
 
 
@@ -88,41 +89,19 @@ def distributed_full_graph_logits(
     h = graph.features
     if model.compute_dtype is not None:
         h = h.astype(model.compute_dtype)
-    for l in range(model.num_layers):
-        p = params.layers[l]
-        d_in = h.shape[-1]
-        if model.use_project_first(l, d_in):
-            # Project first so partial segment-sums and the psum move
-            # d_out-wide rows (exact — mean is linear).
-            from graphsage_tpu.models.layers import split_mean_weight
+    from graphsage_tpu.models.layers import apply_full_graph_mean_layer
 
-            w = p.weight.astype(h.dtype)
-            w_self, w_neigh = split_mean_weight(w, d_in, model.concat_self)
-            hp = jnp.einsum(
-                "ni,io->no", h, w_neigh,
-                preferred_element_type=jnp.float32, precision=model.matmul_precision,
-            ).astype(h.dtype)
-            pre = sharded_spmm_mean(mesh, axis, hp, part, graph.num_nodes).astype(
-                jnp.float32
-            )
-            if model.concat_self:
-                pre = pre + jnp.einsum(
-                    "ni,io->no", h, w_self,
-                    preferred_element_type=jnp.float32,
-                    precision=model.matmul_precision,
-                )
-            h = jax.nn.relu(pre).astype(h.dtype)
-            continue
-        neigh_mean = sharded_spmm_mean(mesh, axis, h, part, graph.num_nodes)
-        combined = (
-            jnp.concatenate([h, neigh_mean], axis=-1) if model.concat_self else neigh_mean
+    def spmm(x):
+        return sharded_spmm_mean(mesh, axis, x, part, graph.num_nodes)
+
+    for l in range(model.num_layers):
+        h = apply_full_graph_mean_layer(
+            params.layers[l], h, spmm,
+            concat_self=model.concat_self,
+            self_loop=model.self_loop,
+            project_first=model.use_project_first(l, h.shape[-1]),
+            precision=model.matmul_precision,
         )
-        h = jax.nn.relu(
-            jnp.einsum(
-                "ni,io->no", combined, p.weight.astype(h.dtype),
-                preferred_element_type=jnp.float32, precision=model.matmul_precision,
-            )
-        ).astype(h.dtype)
     logits = jnp.einsum(
         "nd,dc->nc", h, params.head.astype(h.dtype),
         preferred_element_type=jnp.float32, precision=model.matmul_precision,

@@ -189,8 +189,10 @@ def halo_spmm_mean(
     edge_row: jax.Array,  # [1, Ep]
     edge_slot: jax.Array,  # [1, Ep]
     edge_mask: jax.Array,  # [1, Ep]
-) -> jax.Array:
-    """One halo-exchanged mean aggregation step (call inside shard_map)."""
+) -> tuple[jax.Array, jax.Array]:
+    """One halo-exchanged mean aggregation step (call inside shard_map).
+
+    Returns ``(mean [1, Np, F], valid_count [1, Np])``."""
     np_, f = h_local.shape[1], h_local.shape[2]
     s_axis = jax.lax.axis_size(axis)
     m = send_plan_local.shape[2]
@@ -206,7 +208,7 @@ def halo_spmm_mean(
     per_edge = jnp.take(buffer, edge_slot[0], axis=0) * w[:, None]
     summed = jax.ops.segment_sum(per_edge, edge_row[0], num_segments=np_)
     count = jax.ops.segment_sum(w, edge_row[0], num_segments=np_)
-    return (summed / jnp.maximum(count, 1.0)[:, None])[None]
+    return (summed / jnp.maximum(count, 1.0)[:, None])[None], count[None]
 
 
 def halo_full_graph_logits(
@@ -222,48 +224,27 @@ def halo_full_graph_logits(
     if model.aggregator != "mean":
         raise NotImplementedError("halo path supports the mean aggregator")
 
+    from graphsage_tpu.models.layers import apply_full_graph_mean_layer
+
     def shard_fn(h, send_plan, edge_row, edge_slot, edge_mask):
         if model.compute_dtype is not None:
             h = h.astype(model.compute_dtype)
-        for l in range(model.num_layers):
-            p = params.layers[l]
-            d_in = h.shape[-1]
-            if model.use_project_first(l, d_in):
-                # Project before the exchange: the boundary all_to_all moves
-                # d_out-wide rows instead of d_in-wide (exact — mean is linear).
-                from graphsage_tpu.models.layers import split_mean_weight
 
-                w = p.weight.astype(h.dtype)
-                w_self, w_neigh = split_mean_weight(w, d_in, model.concat_self)
-                hp = jnp.einsum(
-                    "snf,fo->sno", h, w_neigh,
-                    preferred_element_type=jnp.float32,
-                    precision=model.matmul_precision,
-                ).astype(h.dtype)
-                pre = halo_spmm_mean(
-                    axis, part, hp, send_plan, edge_row, edge_slot, edge_mask
-                ).astype(jnp.float32)
-                if model.concat_self:
-                    pre = pre + jnp.einsum(
-                        "snf,fo->sno", h, w_self,
-                        preferred_element_type=jnp.float32,
-                        precision=model.matmul_precision,
-                    )
-                h = jax.nn.relu(pre).astype(h.dtype)
-                continue
-            neigh = halo_spmm_mean(
-                axis, part, h, send_plan, edge_row, edge_slot, edge_mask
+        def spmm(x):
+            # Project-first upstream means the boundary all_to_all moves
+            # d_out-wide rows instead of d_in-wide.
+            return halo_spmm_mean(
+                axis, part, x, send_plan, edge_row, edge_slot, edge_mask
             )
-            combined = (
-                jnp.concatenate([h, neigh], axis=-1) if model.concat_self else neigh
+
+        for l in range(model.num_layers):
+            h = apply_full_graph_mean_layer(
+                params.layers[l], h, spmm,
+                concat_self=model.concat_self,
+                self_loop=model.self_loop,
+                project_first=model.use_project_first(l, h.shape[-1]),
+                precision=model.matmul_precision,
             )
-            h = jax.nn.relu(
-                jnp.einsum(
-                    "snf,fo->sno", combined, p.weight.astype(h.dtype),
-                    preferred_element_type=jnp.float32,
-                    precision=model.matmul_precision,
-                )
-            ).astype(h.dtype)
         logits = jnp.einsum(
             "snd,dc->snc", h, params.head.astype(h.dtype),
             preferred_element_type=jnp.float32, precision=model.matmul_precision,

@@ -21,8 +21,13 @@ class ModelConfig:
     fanouts: Sequence[Optional[int]] = (10, 10)
     aggregator: str = "mean"  # "mean" | "maxpool"
     concat_self: bool = False  # False = reference shipped mode (quirk Q2)
+    # GCN-style self loops (the reference's intended-but-dead gcn branch).
+    self_loop: bool = False
     pool_dim: Optional[int] = None
     compute_dtype: Optional[str] = None  # None | "bfloat16"
+    # Kernel backends (see ops.aggregate): "auto" | explicit impl name.
+    gather_impl: str = "auto"
+    spmm_impl: str = "auto"
     # Project-then-aggregate reordering for the mean aggregator (exact math;
     # see GraphSAGE.project_first). "auto" | True | False.
     project_first: object = "auto"

@@ -49,9 +49,12 @@ def build_model(config: ExperimentConfig, graph: Graph) -> GraphSAGE:
         fanouts=tuple(m.fanouts),
         aggregator=m.aggregator,
         concat_self=m.concat_self,
+        self_loop=m.self_loop,
         pool_dim=m.pool_dim,
         compute_dtype=compute_dtype,
         project_first=m.project_first,
+        gather_impl=m.gather_impl,
+        spmm_impl=m.spmm_impl,
     )
 
 

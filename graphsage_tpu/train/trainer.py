@@ -212,11 +212,17 @@ class Trainer:
         Mirrors the reference driver's observable behavior: per-step loss
         lines, then validation micro-F1 and mean step time
         (reference model.py:100-106). ``initial_state`` resumes from a
-        restored checkpoint instead of a fresh init.
+        restored checkpoint instead of a fresh init; the batch stream is
+        fast-forwarded by ``initial_state.step`` so the resumed run
+        continues the data order instead of replaying the head, and
+        ``num_steps`` means that many *additional* steps.
         """
         cfg = self.cfg
         state = initial_state if initial_state is not None else self.init_state()
         batch_iter = self.batches()
+        if initial_state is not None:
+            for _ in range(int(initial_state.step)):
+                next(batch_iter)
         # Short runs keep the legacy per-step loop (its steady-state timing
         # excludes the first-step compile); longer runs scan
         # ``steps_per_dispatch`` steps per device dispatch.

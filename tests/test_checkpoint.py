@@ -1,5 +1,7 @@
 """Checkpoint round-trip: full TrainState save/restore and resume-equivalence."""
 
+import dataclasses
+
 import jax
 import numpy as np
 import pytest
@@ -113,3 +115,27 @@ def test_orbax_roundtrip(tmp_path):
     for k in ("a",):
         np.testing.assert_array_equal(np.asarray(back[k]), np.asarray(state[k]))
     np.testing.assert_array_equal(np.asarray(back["b"]["c"]), np.asarray(state["b"]["c"]))
+
+
+def test_resume_continues_batch_stream(synth_cora_root):
+    """Review finding: a resumed run must continue the seed stream from
+    state.step, not replay the head batches."""
+    import graphsage_tpu as gt
+
+    graph = gt.load_cora(synth_cora_root)
+    model = gt.GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
+                         hidden_dims=(8, 8), fanouts=(3, 3))
+    cfg = gt.TrainConfig(num_steps=4, log_every=0, batch_size=32,
+                         test_size=100, val_size=80)
+    tr = gt.Trainer(model, graph, cfg)
+    full = tr.run(log=None)  # 4 uninterrupted steps
+
+    tr2 = gt.Trainer(model, graph, dataclasses.replace(cfg, num_steps=2))
+    first = tr2.run(log=None)
+    tr3 = gt.Trainer(model, graph, dataclasses.replace(cfg, num_steps=2))
+    resumed = tr3.run(log=None, initial_state=first["state"])
+    np.testing.assert_allclose(
+        np.asarray(full["losses"]),
+        np.asarray(first["losses"] + resumed["losses"]),
+        rtol=1e-5,
+    )

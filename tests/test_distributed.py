@@ -50,11 +50,14 @@ def test_sharded_spmm_matches_local(graph):
 
     mesh = make_mesh({"graph": 8})
     part = partition_edges(graph, 8)
-    got = sharded_spmm_mean(mesh, "graph", graph.features, part, graph.num_nodes)
+    got, cnt = sharded_spmm_mean(mesh, "graph", graph.features, part, graph.num_nodes)
     want = spmm_mean(
         graph.features, graph.edge_src, graph.edge_dst, graph.edge_mask, graph.num_nodes
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(cnt).astype(np.int32), np.asarray(graph.degrees)
+    )
 
 
 def test_distributed_full_graph_matches_single(graph):
@@ -106,3 +109,21 @@ def test_sharded_trainer_rejects_indivisible_batch(graph):
     mesh = make_mesh({"data": 8})
     with pytest.raises(ValueError):
         ShardedTrainer(model, graph, TrainConfig(batch_size=30), mesh, model_axis=None)
+
+
+def test_distributed_self_loop_matches_single(graph):
+    """Review finding: the distributed layer loops dropped self_loop —
+    now all paths share apply_full_graph_mean_layer."""
+    import dataclasses
+    from graphsage_tpu.models.graphsage import GraphSAGE
+
+    model = GraphSAGE(
+        in_dim=graph.num_features, num_classes=graph.num_classes,
+        hidden_dims=(8, 8), fanouts=(3, 3), self_loop=True,
+        matmul_precision="highest", gather_impl="take",
+    )
+    params = model.init(jax.random.PRNGKey(5))
+    mesh = make_mesh({"graph": 8})
+    want = model.forward_full_graph(params, graph)
+    got = distributed_full_graph_logits(model, params, graph, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)

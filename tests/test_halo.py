@@ -94,3 +94,25 @@ def test_halo_rejects_maxpool(graph):
     mesh = make_mesh({"graph": 4})
     with pytest.raises(NotImplementedError):
         halo_full_graph_logits(m, params, part, mesh)
+
+
+def test_halo_self_loop_and_concat_match_single(graph):
+    """Review finding: halo path dropped self_loop; both extra modes now pin."""
+    import dataclasses
+    from graphsage_tpu.models.graphsage import GraphSAGE
+    from graphsage_tpu.parallel.mesh import make_mesh
+
+    for mode in ({"self_loop": True}, {"concat_self": True}):
+        model = GraphSAGE(
+            in_dim=graph.num_features, num_classes=graph.num_classes,
+            hidden_dims=(8, 8), fanouts=(3, 3),
+            matmul_precision="highest", gather_impl="take", **mode,
+        )
+        params = model.init(jax.random.PRNGKey(6))
+        mesh = make_mesh({"graph": 8})
+        part = build_node_partition(graph, 8)
+        want = model.forward_full_graph(params, graph)
+        got = halo_full_graph_logits(model, params, part, mesh)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )

@@ -86,3 +86,28 @@ def test_full_graph_forward_with_pallas_spmm(graph):
 def test_fits_vmem_budget():
     assert fits_vmem(19717, 128)
     assert not fits_vmem(1_000_000, 128)
+
+
+def test_truncated_graph_uses_directed_backward():
+    """Review finding: explicit max_degree truncation makes adjacency
+    asymmetric; the dispatcher must not use the symmetric fused backward."""
+    feats = np.random.RandomState(1).rand(30, 16).astype(np.float32)
+    edges = np.array([[0, i] for i in range(1, 20)] + [[5, 6], [7, 8]])
+    g = build_graph(feats, np.zeros(30, np.int32), edges, num_classes=2,
+                    max_degree=4)
+    assert not g.symmetric
+    grad_p = jax.grad(
+        lambda x: (
+            spmm_mean(
+                x, g.edge_src, g.edge_dst, g.edge_mask, g.num_nodes,
+                indptr=g.indptr, impl="pallas_vmem", symmetric=g.symmetric,
+            ) ** 2
+        ).sum()
+    )(g.features)
+    grad_x = jax.grad(
+        lambda x: (
+            spmm_mean(x, g.edge_src, g.edge_dst, g.edge_mask, g.num_nodes) ** 2
+        ).sum()
+    )(g.features)
+    np.testing.assert_allclose(np.asarray(grad_p), np.asarray(grad_x),
+                               rtol=1e-4, atol=1e-5)
