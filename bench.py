@@ -1,19 +1,27 @@
-"""Benchmark: aggregation throughput (edges/s) of the Cora-config train step.
+"""Benchmark: aggregation throughput (edges/s) of sampled training steps.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
 
+The headline value is the Cora-config train step (the reference's shipped
+run: 2-layer mean, fanout 10/10, 256-seed batch); ``detail`` carries the
+same measurement for the Pubmed-intent config (fanout 10/25, batch 1024)
+and the 100K-node power-law scale config.
+
 Baseline: the reference aggregates ~66K sampled edges/s on CPU (fwd+bwd,
 256-node batch, effective fanout 10/10 — BASELINE.md, measured on the
 validated reconstruction). Here the same logical step — sample, gather,
-2-layer mean aggregation, project, loss, backward, SGD — runs as one compiled
-XLA program; throughput is counted over the sampled-edge slots the step
-actually aggregates (our frontier is dedup-free, so the per-step edge count
-is higher than the reference's post-dedup 5.1K; both numerator and
+2-layer mean aggregation, project, loss, backward, SGD — runs as one
+compiled XLA program; throughput is counted over the sampled-edge slots the
+step actually aggregates (our frontier is dedup-free, so the per-step edge
+count is higher than the reference's post-dedup count; both numerator and
 denominator are each system's real aggregation work).
 
-Steps are driven through ``lax.scan`` in blocks so host->device dispatch
-latency (the axon relay adds ~10ms/call) does not pollute the kernel timing.
+Methodology (docs/ROOFLINE.md): the axon relay adds a FIXED ~28 ms per
+jitted call, so steps run in long ``lax.scan`` blocks and the per-step time
+is ``min(block_time) / steps_per_block``; an explicit host transfer of the
+per-step losses is the completion barrier (``block_until_ready`` on donated
+outputs can return early under the relay, so nothing is donated here).
 """
 
 from __future__ import annotations
@@ -24,49 +32,26 @@ import time
 import numpy as np
 
 
-def main() -> None:
+def _measure(graph, model, batch, steps_per_block, blocks):
     import jax
     import jax.numpy as jnp
 
-    from graphsage_tpu.data.synthetic import synthetic_cora_graph
-    from graphsage_tpu.models.graphsage import GraphSAGE
     from graphsage_tpu.train.config import TrainConfig
     from graphsage_tpu.train.trainer import Trainer
 
-    BASELINE_EDGES_PER_S = 66_000.0  # BASELINE.md, reference on CPU
-    # The axon relay adds a FIXED ~28 ms per jitted call (measured: a no-op
-    # 1-iteration scan costs 32 ms, a 5000-iteration one 28 ms total), so the
-    # per-step figure only converges to device time with long blocks:
-    # 50 steps/block inflated every step by ~0.56 ms (~2x at these shapes).
-    STEPS_PER_BLOCK = 500
-    BLOCKS = 4
-    BATCH = 256
-
-    # Cora-like synthetic graph (binary bag-of-words features, homophilous
-    # edges) so the trained loss is meaningful, not just the step timing.
-    graph = synthetic_cora_graph(
-        num_nodes=2708, num_edges=5429, num_feats=1433, num_classes=7, seed=0
+    trainer = Trainer(
+        model, graph, TrainConfig(batch_size=batch, num_steps=1, log_every=0)
     )
-    model = GraphSAGE(
-        in_dim=graph.num_features,
-        num_classes=graph.num_classes,
-        hidden_dims=(128, 128),
-        fanouts=(10, 10),
-    )
-    cfg = TrainConfig(batch_size=BATCH, num_steps=1, log_every=0)
-    trainer = Trainer(model, graph, cfg)
     state = trainer.init_state()
-
-    # Edge slots aggregated per step (dedup-free frontier).
-    frontier = model.sample(jax.random.PRNGKey(0), graph, jnp.zeros(BATCH, jnp.int32))
+    frontier = model.sample(jax.random.PRNGKey(0), graph, jnp.zeros(batch, jnp.int32))
     edges_per_step = frontier.sampled_edges()
 
     batch_iter = trainer.batches()
     seeds_blocks = [
         jnp.asarray(
-            np.stack([next(batch_iter) for _ in range(STEPS_PER_BLOCK)]), jnp.int32
+            np.stack([next(batch_iter) for _ in range(steps_per_block)]), jnp.int32
         )
-        for _ in range(BLOCKS + 1)
+        for _ in range(blocks + 1)
     ]
 
     def block(state, seeds_all, graph):
@@ -76,26 +61,60 @@ def main() -> None:
 
         return jax.lax.scan(body, state, seeds_all)
 
-    # No donation: under the axon relay, block_until_ready on donated outputs
-    # can return before execution finishes; an explicit host transfer of the
-    # per-step losses is the reliable completion barrier.
     block_jit = jax.jit(block)
-
-    # Warm-up (compile) block.
-    state, losses = block_jit(state, seeds_blocks[0], graph)
+    state, losses = block_jit(state, seeds_blocks[0], graph)  # compile block
     np.asarray(losses)
 
     times = []
-    for b in range(1, BLOCKS + 1):
+    for b in range(1, blocks + 1):
         t0 = time.perf_counter()
         state, losses = block_jit(state, seeds_blocks[b], graph)
         np.asarray(losses)  # completion barrier
         times.append(time.perf_counter() - t0)
 
-    sec_per_step = min(times) / STEPS_PER_BLOCK
-    edges_per_s = edges_per_step / sec_per_step
-    final_loss = float(np.asarray(losses)[-1])
+    sec_per_step = min(times) / steps_per_block
+    return {
+        "edges_per_step": edges_per_step,
+        "sec_per_step": sec_per_step,
+        "edges_per_s": edges_per_step / sec_per_step,
+        "final_loss": float(np.asarray(losses)[-1]),
+    }
 
+
+def main() -> None:
+    import jax
+
+    from graphsage_tpu.data.synthetic import (
+        power_law_graph,
+        synthetic_cora_graph,
+        synthetic_pubmed_graph,
+    )
+    from graphsage_tpu.models.graphsage import GraphSAGE
+
+    BASELINE_EDGES_PER_S = 66_000.0  # BASELINE.md, reference on CPU
+
+    # Headline: Cora-like synthetic (binary bag-of-words, homophilous edges
+    # so the trained loss is meaningful, not just the step timing).
+    cora = _measure(
+        synthetic_cora_graph(2708, 1433, 5429, 7, seed=0),
+        GraphSAGE(in_dim=1433, num_classes=7, hidden_dims=(128, 128), fanouts=(10, 10)),
+        batch=256, steps_per_block=500, blocks=4,
+    )
+
+    pubmed = _measure(
+        synthetic_pubmed_graph(19717, 500, 44338, 3, seed=0),
+        GraphSAGE(in_dim=500, num_classes=3, hidden_dims=(128, 128), fanouts=(10, 25)),
+        batch=1024, steps_per_block=200, blocks=2,
+    )
+
+    powerlaw = _measure(
+        power_law_graph(num_nodes=100_000, num_edges=1_000_000, num_feats=128,
+                        num_classes=16, seed=0),
+        GraphSAGE(in_dim=128, num_classes=16, hidden_dims=(128, 128), fanouts=(10, 10)),
+        batch=1024, steps_per_block=200, blocks=2,
+    )
+
+    edges_per_s = cora["edges_per_s"]
     print(
         json.dumps(
             {
@@ -104,9 +123,13 @@ def main() -> None:
                 "unit": "edges/s",
                 "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 2),
                 "detail": {
-                    "edges_per_step": edges_per_step,
-                    "sec_per_step": sec_per_step,
-                    "final_loss": final_loss,
+                    "cora": {k: round(v, 8) for k, v in cora.items()},
+                    "pubmed_intent_fanout_10_25": {
+                        k: round(v, 8) for k, v in pubmed.items()
+                    },
+                    "powerlaw_100k_nodes_2m_edges": {
+                        k: round(v, 8) for k, v in powerlaw.items()
+                    },
                     "device": str(jax.devices()[0]),
                 },
             }

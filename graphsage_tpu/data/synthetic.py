@@ -88,6 +88,32 @@ def synthetic_cora_graph(
     return build_graph(features, labels, edges, num_classes=num_classes, undirected=True)
 
 
+def synthetic_pubmed_graph(
+    num_nodes: int = 19717,
+    num_feats: int = 500,
+    num_edges: int = 44338,
+    num_classes: int = 3,
+    seed: int = 0,
+) -> "Graph":
+    """In-memory Pubmed-like graph: sparse nonnegative TF-IDF-scale block
+    features and homophilous edges — numerically stable at the reference's
+    lr=0.7 (Gaussian features diverge there)."""
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, num_classes, num_nodes).astype(np.int32)
+    block_w = max(num_feats // (num_classes * 3), 1)
+    features = np.zeros((num_nodes, num_feats), dtype=np.float32)
+    for c in range(num_classes):
+        rows = np.flatnonzero(labels == c)
+        lo = c * block_w
+        for i in rows:
+            idx = rng.choice(np.arange(lo, lo + block_w), size=min(10, block_w), replace=False)
+            features[i, idx] = rng.uniform(0.05, 0.5, size=len(idx)).astype(np.float32)
+            noise = rng.choice(num_feats, size=5, replace=False)
+            features[i, noise] = rng.uniform(0.01, 0.1, size=5).astype(np.float32)
+    edges = _homophilous_edges(rng, labels, num_edges)
+    return build_graph(features, labels, edges, num_classes=num_classes, undirected=True)
+
+
 def synth_cora_files(
     root: str | os.PathLike,
     num_nodes: int = 2708,

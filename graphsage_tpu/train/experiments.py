@@ -66,6 +66,7 @@ def run_preset(
     checkpoint_path: str | None = None,
     mode: str = "sampled",
     resume_path: str | None = None,
+    eval_only: bool = False,
 ) -> dict[str, Any]:
     """Train one of the BASELINE.json preset configs end to end.
 
@@ -105,6 +106,23 @@ def run_preset(
         if log:
             log(f"resumed from {resume_path} at step "
                 f"{int(initial_state.step)}")
+    if eval_only:
+        if initial_state is None:
+            raise ValueError("eval_only requires resume_path (a trained state)")
+        val = trainer.evaluate(initial_state, trainer.val_nodes)
+        test = trainer.evaluate(initial_state, trainer.test_nodes)
+        if log:
+            log(f"Validation F1: {val['micro_f1']}")
+            log(f"Test F1: {test['micro_f1']}")
+        return {
+            "losses": [],
+            "val_micro_f1": val["micro_f1"],
+            "val_macro_f1": val["macro_f1"],
+            "test_micro_f1": test["micro_f1"],
+            "test_macro_f1": test["macro_f1"],
+            "mean_step_time": 0.0,
+            "state": initial_state,
+        }
     result = trainer.run(log=log, initial_state=initial_state)
     if checkpoint_path:
         from graphsage_tpu.utils.checkpoint import save_checkpoint
@@ -148,6 +166,10 @@ def main(argv: Optional[list[str]] = None) -> None:
     parser.add_argument("--checkpoint", default=None, help="write final state here")
     parser.add_argument("--resume", default=None,
                         help="restore this checkpoint and continue training")
+    parser.add_argument("--eval-only", action="store_true",
+                        help="evaluate a --resume checkpoint (val + test F1; "
+                        "the reference computes its test split but never "
+                        "evaluates it — quirk Q6) without training")
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (fail fast on NaN, "
                         "SURVEY.md §5.2 — e.g. Q4-class bugs)")
@@ -186,6 +208,7 @@ def main(argv: Optional[list[str]] = None) -> None:
         checkpoint_path=args.checkpoint,
         mode=args.mode,
         resume_path=args.resume,
+        eval_only=args.eval_only,
     )
     if args.log_jsonl:
         from graphsage_tpu.utils.logging import MetricsLogger

@@ -73,3 +73,17 @@ def test_cli_checkpoint_then_resume(synth_cora_root, tmp_path, capsys):
           "--steps", "2", "--quiet", "--resume", ckpt + ".npz"])
     out = capsys.readouterr().out
     assert "resumed from" in out and "at step 3" in out
+
+
+def test_cli_eval_only(synth_cora_root, tmp_path, capsys):
+    from graphsage_tpu.train.experiments import main
+
+    ckpt = str(tmp_path / "state")
+    main(["--preset", "cora", "--data-root", synth_cora_root,
+          "--test-size", "100", "--val-size", "80",
+          "--steps", "5", "--quiet", "--checkpoint", ckpt])
+    main(["--preset", "cora", "--data-root", synth_cora_root,
+          "--test-size", "100", "--val-size", "80",
+          "--eval-only", "--resume", ckpt + ".npz"])
+    out = capsys.readouterr().out
+    assert "Validation F1:" in out and "Test F1:" in out
