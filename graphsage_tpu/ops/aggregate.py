@@ -170,7 +170,10 @@ def _gather_mean_bwd(impl, bf16, res, g):
     if on_tpu and onehot_sec < scatter_sec:
         from graphsage_tpu.ops.pallas_onehot import _onehot_scatter_mean_grad
 
-        dfeat = _onehot_scatter_mean_grad(g2, idx2, mask2, n, bf16=bf16)
+        # bf16 measured SLOWER here (4.3 vs 3.7 ms at Pubmed shapes — the
+        # compare/accumulate tile work dominates, not the MXU), so the
+        # scatter always runs f32 regardless of the forward's dtype.
+        dfeat = _onehot_scatter_mean_grad(g2, idx2, mask2, n, bf16=False)
     else:
         # k separate scatter-adds of [B, F] rows — never materializes the
         # [B*k, F] per-edge tensor (measured 2.3 ms vs 2.7 ms at Pubmed's

@@ -194,5 +194,4 @@ def _bwd(symmetric, row_block, interpret, res, g):
     return dfeat.astype(dtype), None, None
 
 
-spmm_mean_vjp = spmm_mean_vmem  # alias: the public name carries the vjp
 spmm_mean_vmem.defvjp(_fwd, _bwd)
