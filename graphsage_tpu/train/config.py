@@ -72,13 +72,17 @@ class ExperimentConfig:
     @staticmethod
     def from_json(text: str) -> "ExperimentConfig":
         raw = json.loads(text)
+        m = dict(raw.get("model", {}))
+        m["hidden_dims"] = tuple(m.get("hidden_dims", (128, 128)))
+        m["fanouts"] = tuple(m.get("fanouts", (10, 10)))
+        t = dict(raw.get("train", {}))
+        if t.get("eval_fanouts") is not None:
+            t["eval_fanouts"] = tuple(t["eval_fanouts"])
         return ExperimentConfig(
             name=raw["name"],
             dataset=raw["dataset"],
-            model=ModelConfig(**{**raw.get("model", {}),
-                                 "hidden_dims": tuple(raw.get("model", {}).get("hidden_dims", (128, 128))),
-                                 "fanouts": tuple(raw.get("model", {}).get("fanouts", (10, 10)))}),
-            train=TrainConfig(**raw.get("train", {})),
+            model=ModelConfig(**m),
+            train=TrainConfig(**t),
         )
 
 

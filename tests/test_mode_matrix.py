@@ -1,0 +1,59 @@
+"""Interaction lockdown: for every supported mode combination, the sampled
+forward with sampling disabled (fanout=None, quirk Q7) must equal the
+deterministic full-graph forward — this is the single invariant that ties
+the minibatch path, the CSR path, and (via their own pinned tests) the
+distributed paths to the same model."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphsage_tpu.data.synthetic import power_law_graph
+from graphsage_tpu.models.graphsage import GraphSAGE
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return power_law_graph(
+        num_nodes=90, num_edges=260, num_feats=48, num_classes=4, seed=9
+    )
+
+
+MODES = [
+    dict(aggregator="mean"),
+    dict(aggregator="mean", concat_self=True),
+    dict(aggregator="mean", self_loop=True),
+    dict(aggregator="mean", project_first=False),
+    dict(aggregator="mean", concat_self=True, project_first=False),
+    dict(aggregator="maxpool", pool_dim=12),
+    dict(aggregator="maxpool", pool_dim=12, concat_self=True),
+    dict(aggregator="maxpool", pool_dim=12, self_loop=True),
+]
+
+
+@pytest.mark.parametrize("mode", MODES, ids=lambda m: "-".join(
+    f"{k}={v}" for k, v in m.items()))
+def test_sampled_no_fanout_equals_full_graph(graph, mode):
+    model = GraphSAGE(
+        in_dim=graph.num_features, num_classes=graph.num_classes,
+        hidden_dims=(16, 16), fanouts=(None, None),
+        matmul_precision="highest", gather_impl="take", **mode,
+    )
+    params = model.init(jax.random.PRNGKey(11))
+    full = model.forward_full_graph(params, graph)
+    frontier = model.sample(
+        jax.random.PRNGKey(12), graph, jnp.arange(graph.num_nodes, dtype=jnp.int32)
+    )
+    sampled = model.forward(params, graph.features, frontier)
+    np.testing.assert_allclose(
+        np.asarray(sampled), np.asarray(full), rtol=1e-4, atol=1e-5
+    )
+    # Embeddings agree the same way.
+    emb_s = model.forward(params, graph.features, frontier, return_embeddings=True)
+    emb_f = model.embed_full_graph(params, graph)
+    np.testing.assert_allclose(
+        np.asarray(emb_s), np.asarray(emb_f), rtol=1e-4, atol=1e-5
+    )
