@@ -109,6 +109,11 @@ def run_preset(
     if eval_only:
         if initial_state is None:
             raise ValueError("eval_only requires resume_path (a trained state)")
+        if checkpoint_path:
+            raise ValueError(
+                "eval_only does not train — combining it with checkpoint_path "
+                "would silently write nothing; drop one of the two"
+            )
         val = trainer.evaluate(initial_state, trainer.val_nodes)
         test = trainer.evaluate(initial_state, trainer.test_nodes)
         if log:
