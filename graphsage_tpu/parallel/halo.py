@@ -12,9 +12,14 @@ exchange only *boundary* rows:
    (s, t) the set of t-owned rows s's edges reference. These request lists
    are padded to the max boundary size ``M`` and become a static send plan.
 3. Per layer (:func:`halo_spmm_mean`, inside ``shard_map``): every shard
-   gathers the rows it must send, one ``all_to_all`` moves the boundary
-   rows, and a local segment-sum over the shard's edges — indexed into a
-   [local ‖ received] buffer via host-precomputed slots — produces the mean.
+   aggregates its *local* edges immediately (they only need resident rows),
+   while the boundary rows move in ``halo_chunks`` independent
+   ``all_to_all`` chunks, each followed by a segment-sum over just the
+   edges that reference that chunk. Every all_to_all depends only on the
+   layer input, so XLA's async collective scheduler can keep chunk ``c+1``
+   in flight on the ICI while chunk ``c``'s edges aggregate — the
+   overlapped boundary exchange the north star asks for. ``halo_chunks=1``
+   degenerates to the single-exchange form.
 
 Communication per shard per layer is ``(S-1) * M * F`` instead of ``N * F``;
 ``M`` is the partition's boundary size (reported by
@@ -43,19 +48,27 @@ def _round_up(x: int, m: int) -> int:
 
 class NodePartition(NamedTuple):
     """Static halo-exchange plan. All arrays are stacked with a leading
-    shard dimension and sharded over it; ``send_plan`` is replicated."""
+    shard dimension and sharded over it; ``send_plan`` is replicated.
+
+    Edges are pre-grouped into ``1 + halo_chunks`` groups: group 0 needs
+    only shard-resident rows; group ``1 + c`` references boundary rows in
+    exchange chunk ``c`` (its slots index that chunk's receive buffer
+    ``[S * chunk_size]``), so each chunk's aggregation can start as soon as
+    its own all_to_all lands."""
 
     num_shards: int
     nodes_per_shard: int  # Np (padded)
     halo_size: int  # M (padded max boundary rows between any pair)
+    halo_chunks: int  # C — number of independent exchange chunks
+    chunk_size: int  # mc = M / C (M is padded to a multiple of C)
     offsets: jax.Array  # [S] first global node id of each range
     sizes: jax.Array  # [S] true range sizes
     h0: jax.Array  # [S, Np, F] features, zero-padded
     labels: jax.Array  # [S, Np] int32
     node_mask: jax.Array  # [S, Np] bool (True on real nodes)
-    edge_row: jax.Array  # [S, Ep] local destination row (0..Np)
-    edge_slot: jax.Array  # [S, Ep] index into [local ‖ halo] buffer
-    edge_mask: jax.Array  # [S, Ep]
+    edge_row: jax.Array  # [S, 1+C, Eg] local destination row (0..Np)
+    edge_slot: jax.Array  # [S, 1+C, Eg] row index (group 0: local; else chunk recv buffer)
+    edge_mask: jax.Array  # [S, 1+C, Eg]
     send_plan: jax.Array  # [S_owner, S_dest, M] local row indices to send
     stacked_index: jax.Array  # [N] position of global node v in the stacked layout
 
@@ -73,8 +86,14 @@ class NodePartition(NamedTuple):
         }
 
 
-def build_node_partition(graph: Graph, num_shards: int) -> NodePartition:
-    """Host-side precompute of the halo-exchange plan (numpy)."""
+def build_node_partition(
+    graph: Graph, num_shards: int, halo_chunks: int = 4
+) -> NodePartition:
+    """Host-side precompute of the halo-exchange plan (numpy).
+
+    ``halo_chunks`` splits the boundary exchange into independent
+    all_to_all chunks whose aggregations interleave (comm/compute overlap);
+    it is clamped so chunks never degenerate below 8 rows."""
     indptr = np.asarray(graph.indptr)
     edge_dst = np.asarray(graph.edge_dst)[: graph.num_edges]
     feats = np.asarray(graph.features)
@@ -117,7 +136,9 @@ def build_node_partition(graph: Graph, num_shards: int) -> NodePartition:
         need.append(d)
 
     m = max([1] + [len(v) for d in need for v in d.values()])
-    m = _round_up(m, 8)
+    chunks = max(1, min(int(halo_chunks), (m + 7) // 8))
+    mc = _round_up(-(-m // chunks), 8)  # per-chunk rows, 8-padded
+    m = mc * chunks
 
     # send_plan[t, s] = local indices (u - offset_t) of rows t sends to s.
     send_plan = np.zeros((num_shards, num_shards, m), dtype=np.int32)
@@ -125,20 +146,18 @@ def build_node_partition(graph: Graph, num_shards: int) -> NodePartition:
         for t, uniq in need[s].items():
             send_plan[t, s, : len(uniq)] = uniq - offsets[t]
 
-    ep = _round_up(max(1, max(len(r) for r, _ in shard_edges)), 128)
-    edge_row = np.zeros((num_shards, ep), dtype=np.int32)
-    edge_slot = np.zeros((num_shards, ep), dtype=np.int32)
-    edge_mask = np.zeros((num_shards, ep), dtype=bool)
+    # Group every edge: group 0 = local (slot indexes resident rows), group
+    # 1 + c = references exchange chunk c (slot indexes that chunk's receive
+    # buffer [S * mc]). Vectorized slot resolution: searchsorted into the
+    # (sorted, unique) per-pair request lists — no per-edge Python.
+    n_groups = 1 + chunks
+    grouped: list[list[tuple[np.ndarray, np.ndarray]]] = []
     for s in range(num_shards):
         rows, dst = shard_edges[s]
         cnt = len(rows)
-        edge_row[s, :cnt] = rows
-        edge_mask[s, :cnt] = True
-        # Vectorized slot resolution: local rows index [0, Np); remote rows
-        # index the halo section via searchsorted into the (sorted, unique)
-        # per-pair request list — no per-edge Python.
         owners = owner_of[dst] if cnt else np.zeros(0, dtype=np.int64)
         slots = np.empty(cnt, dtype=np.int32)
+        group = np.zeros(cnt, dtype=np.int32)
         local_sel = owners == s
         slots[local_sel] = (dst[local_sel] - offsets[s]).astype(np.int32)
         for t in range(num_shards):
@@ -147,10 +166,33 @@ def build_node_partition(graph: Graph, num_shards: int) -> NodePartition:
             sel = owners == t
             if not sel.any():
                 continue
-            slots[sel] = (
-                np_pad + t * m + np.searchsorted(need[s][t], dst[sel])
-            ).astype(np.int32)
-        edge_slot[s, :cnt] = slots
+            pos = np.searchsorted(need[s][t], dst[sel])
+            c = pos // mc
+            group[sel] = 1 + c
+            slots[sel] = (t * mc + (pos - c * mc)).astype(np.int32)
+        grouped.append(
+            [
+                (rows[group == g], slots[group == g])
+                for g in range(n_groups)
+            ]
+        )
+
+    ep = _round_up(
+        max(
+            1,
+            max(len(r) for per_shard in grouped for r, _ in per_shard),
+        ),
+        128,
+    )
+    edge_row = np.zeros((num_shards, n_groups, ep), dtype=np.int32)
+    edge_slot = np.zeros((num_shards, n_groups, ep), dtype=np.int32)
+    edge_mask = np.zeros((num_shards, n_groups, ep), dtype=bool)
+    for s in range(num_shards):
+        for g, (rows_g, slots_g) in enumerate(grouped[s]):
+            k = len(rows_g)
+            edge_row[s, g, :k] = rows_g
+            edge_slot[s, g, :k] = slots_g
+            edge_mask[s, g, :k] = True
         # padded edges keep row 0 / slot 0 (masked)
 
     h0 = np.zeros((num_shards, np_pad, graph.num_features), feats.dtype)
@@ -168,6 +210,8 @@ def build_node_partition(graph: Graph, num_shards: int) -> NodePartition:
         num_shards=num_shards,
         nodes_per_shard=np_pad,
         halo_size=m,
+        halo_chunks=chunks,
+        chunk_size=mc,
         offsets=jnp.asarray(offsets),
         sizes=jnp.asarray(sizes),
         h0=jnp.asarray(h0),
@@ -186,28 +230,41 @@ def halo_spmm_mean(
     part: NodePartition,
     h_local: jax.Array,  # [1, Np, F] — this shard's rows (inside shard_map)
     send_plan_local: jax.Array,  # [1, S, M] — this shard's send plan
-    edge_row: jax.Array,  # [1, Ep]
-    edge_slot: jax.Array,  # [1, Ep]
-    edge_mask: jax.Array,  # [1, Ep]
+    edge_row: jax.Array,  # [1, 1+C, Eg]
+    edge_slot: jax.Array,  # [1, 1+C, Eg]
+    edge_mask: jax.Array,  # [1, 1+C, Eg]
 ) -> tuple[jax.Array, jax.Array]:
     """One halo-exchanged mean aggregation step (call inside shard_map).
 
-    Returns ``(mean [1, Np, F], valid_count [1, Np])``."""
+    Local edges aggregate immediately from resident rows; each of the C
+    boundary chunks is an independent all_to_all (dependent only on the
+    layer input) followed by a segment-sum over just its edges — XLA's
+    async collective scheduler overlaps chunk c+1's exchange with chunk c's
+    aggregation. Returns ``(mean [1, Np, F], valid_count [1, Np])``."""
     np_, f = h_local.shape[1], h_local.shape[2]
     s_axis = jax.lax.axis_size(axis)
-    m = send_plan_local.shape[2]
+    mc = part.chunk_size
+    h0 = h_local[0]
 
-    # Gather boundary rows for every destination and exchange.
-    send = jnp.take(h_local[0], send_plan_local[0].reshape(-1), axis=0)
-    send = send.reshape(s_axis, m, f)
-    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=False)
-    # recv[t] = rows this shard requested from shard t.
+    def seg(buf, g):
+        w = edge_mask[0, g].astype(h_local.dtype)
+        per_edge = jnp.take(buf, edge_slot[0, g], axis=0) * w[:, None]
+        return (
+            jax.ops.segment_sum(per_edge, edge_row[0, g], num_segments=np_),
+            jax.ops.segment_sum(w, edge_row[0, g], num_segments=np_),
+        )
 
-    buffer = jnp.concatenate([h_local[0], recv.reshape(s_axis * m, f)], axis=0)
-    w = edge_mask[0].astype(h_local.dtype)
-    per_edge = jnp.take(buffer, edge_slot[0], axis=0) * w[:, None]
-    summed = jax.ops.segment_sum(per_edge, edge_row[0], num_segments=np_)
-    count = jax.ops.segment_sum(w, edge_row[0], num_segments=np_)
+    summed, count = seg(h0, 0)  # local edges — no communication needed
+    for c in range(part.halo_chunks):
+        sp = send_plan_local[0][:, c * mc : (c + 1) * mc]  # [S, mc]
+        send = jnp.take(h0, sp.reshape(-1), axis=0).reshape(s_axis, mc, f)
+        recv = jax.lax.all_to_all(
+            send, axis, split_axis=0, concat_axis=0, tiled=False
+        )
+        # recv[t] = chunk-c rows this shard requested from shard t.
+        s_c, c_c = seg(recv.reshape(s_axis * mc, f), 1 + c)
+        summed = summed + s_c
+        count = count + c_c
     return (summed / jnp.maximum(count, 1.0)[:, None])[None], count[None]
 
 

@@ -116,3 +116,26 @@ def test_halo_self_loop_and_concat_match_single(graph):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
         )
+
+
+@pytest.mark.parametrize("chunks", [1, 3])
+def test_halo_chunked_exchange_matches_single(graph, chunks):
+    """Chunked boundary exchange (comm/compute overlap) is exact for any
+    chunk count; each chunk's slots index its own receive buffer."""
+    from graphsage_tpu.models.graphsage import GraphSAGE
+    from graphsage_tpu.parallel.mesh import make_mesh
+
+    model = GraphSAGE(
+        in_dim=graph.num_features, num_classes=graph.num_classes,
+        hidden_dims=(8, 8), fanouts=(3, 3),
+        matmul_precision="highest", gather_impl="take",
+    )
+    params = model.init(jax.random.PRNGKey(8))
+    mesh = make_mesh({"graph": 8})
+    part = build_node_partition(graph, 8, halo_chunks=chunks)
+    assert part.halo_chunks <= max(1, chunks)
+    assert part.halo_size == part.chunk_size * part.halo_chunks
+    assert part.edge_row.shape[1] == 1 + part.halo_chunks
+    want = model.forward_full_graph(params, graph)
+    got = halo_full_graph_logits(model, params, part, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
