@@ -50,25 +50,29 @@ class NodePartition(NamedTuple):
     """Static halo-exchange plan. All arrays are stacked with a leading
     shard dimension and sharded over it; ``send_plan`` is replicated.
 
-    Edges are pre-grouped into ``1 + halo_chunks`` groups: group 0 needs
-    only shard-resident rows; group ``1 + c`` references boundary rows in
-    exchange chunk ``c`` (its slots index that chunk's receive buffer
-    ``[S * chunk_size]``), so each chunk's aggregation can start as soon as
-    its own all_to_all lands."""
+    Edges are pre-grouped: the *local* group needs only shard-resident rows
+    and is padded on its own (it usually dominates); boundary edges live in
+    ``halo_chunks`` chunk groups whose slots index their own chunk's receive
+    buffer ``[S * chunk_sizes[c]]``, so each chunk's aggregation can start
+    as soon as its own all_to_all lands. Chunk sizes partition the 8-padded
+    boundary exactly (no per-chunk rounding inflation)."""
 
     num_shards: int
     nodes_per_shard: int  # Np (padded)
-    halo_size: int  # M (padded max boundary rows between any pair)
+    halo_size: int  # M = sum(chunk_sizes) (8-padded max boundary per pair)
     halo_chunks: int  # C — number of independent exchange chunks
-    chunk_size: int  # mc = M / C (M is padded to a multiple of C)
+    chunk_sizes: tuple  # per-chunk boundary rows (each a multiple of 8)
     offsets: jax.Array  # [S] first global node id of each range
     sizes: jax.Array  # [S] true range sizes
     h0: jax.Array  # [S, Np, F] features, zero-padded
     labels: jax.Array  # [S, Np] int32
     node_mask: jax.Array  # [S, Np] bool (True on real nodes)
-    edge_row: jax.Array  # [S, 1+C, Eg] local destination row (0..Np)
-    edge_slot: jax.Array  # [S, 1+C, Eg] row index (group 0: local; else chunk recv buffer)
-    edge_mask: jax.Array  # [S, 1+C, Eg]
+    edge_local_row: jax.Array  # [S, E0] local destination row (0..Np)
+    edge_local_slot: jax.Array  # [S, E0] resident-row index
+    edge_local_mask: jax.Array  # [S, E0]
+    edge_halo_row: jax.Array  # [S, C, Eh]
+    edge_halo_slot: jax.Array  # [S, C, Eh] index into chunk c's recv buffer
+    edge_halo_mask: jax.Array  # [S, C, Eh]
     send_plan: jax.Array  # [S_owner, S_dest, M] local row indices to send
     stacked_index: jax.Array  # [N] position of global node v in the stacked layout
 
@@ -136,9 +140,14 @@ def build_node_partition(
         need.append(d)
 
     m = max([1] + [len(v) for d in need for v in d.values()])
-    chunks = max(1, min(int(halo_chunks), (m + 7) // 8))
-    mc = _round_up(-(-m // chunks), 8)  # per-chunk rows, 8-padded
-    m = mc * chunks
+    m = _round_up(m, 8)
+    q = m // 8
+    chunks = max(1, min(int(halo_chunks), q))
+    # Partition the q 8-row blocks exactly across chunks — no per-chunk
+    # rounding inflation (e.g. m=72, C=4 -> sizes (24, 16, 16, 16), sum 72).
+    blocks = [q // chunks + (1 if i < q % chunks else 0) for i in range(chunks)]
+    chunk_sizes = tuple(8 * b for b in blocks)
+    chunk_starts = np.concatenate([[0], np.cumsum(chunk_sizes)]).astype(np.int64)
 
     # send_plan[t, s] = local indices (u - offset_t) of rows t sends to s.
     send_plan = np.zeros((num_shards, num_shards, m), dtype=np.int32)
@@ -146,18 +155,19 @@ def build_node_partition(
         for t, uniq in need[s].items():
             send_plan[t, s, : len(uniq)] = uniq - offsets[t]
 
-    # Group every edge: group 0 = local (slot indexes resident rows), group
-    # 1 + c = references exchange chunk c (slot indexes that chunk's receive
-    # buffer [S * mc]). Vectorized slot resolution: searchsorted into the
-    # (sorted, unique) per-pair request lists — no per-edge Python.
-    n_groups = 1 + chunks
-    grouped: list[list[tuple[np.ndarray, np.ndarray]]] = []
+    # Group every edge: local edges (slot indexes resident rows) pad on
+    # their own; boundary edges group by exchange chunk, slots indexing the
+    # chunk's receive buffer [S * chunk_sizes[c]]. Vectorized slot
+    # resolution: searchsorted into the (sorted, unique) per-pair request
+    # lists — no per-edge Python.
+    local_lists: list[tuple[np.ndarray, np.ndarray]] = []
+    halo_lists: list[list[tuple[np.ndarray, np.ndarray]]] = []
     for s in range(num_shards):
         rows, dst = shard_edges[s]
         cnt = len(rows)
         owners = owner_of[dst] if cnt else np.zeros(0, dtype=np.int64)
         slots = np.empty(cnt, dtype=np.int32)
-        group = np.zeros(cnt, dtype=np.int32)
+        group = np.full(cnt, -1, dtype=np.int32)  # -1 = local
         local_sel = owners == s
         slots[local_sel] = (dst[local_sel] - offsets[s]).astype(np.int32)
         for t in range(num_shards):
@@ -167,32 +177,38 @@ def build_node_partition(
             if not sel.any():
                 continue
             pos = np.searchsorted(need[s][t], dst[sel])
-            c = pos // mc
-            group[sel] = 1 + c
-            slots[sel] = (t * mc + (pos - c * mc)).astype(np.int32)
-        grouped.append(
-            [
-                (rows[group == g], slots[group == g])
-                for g in range(n_groups)
-            ]
+            c = np.searchsorted(chunk_starts, pos, side="right") - 1
+            group[sel] = c
+            slots[sel] = (
+                t * np.asarray(chunk_sizes)[c] + (pos - chunk_starts[c])
+            ).astype(np.int32)
+        local_lists.append((rows[group == -1], slots[group == -1]))
+        halo_lists.append(
+            [(rows[group == c], slots[group == c]) for c in range(chunks)]
         )
 
-    ep = _round_up(
-        max(
-            1,
-            max(len(r) for per_shard in grouped for r, _ in per_shard),
-        ),
+    e0 = _round_up(max(1, max(len(r) for r, _ in local_lists)), 128)
+    eh = _round_up(
+        max(1, max(len(r) for per_shard in halo_lists for r, _ in per_shard)),
         128,
     )
-    edge_row = np.zeros((num_shards, n_groups, ep), dtype=np.int32)
-    edge_slot = np.zeros((num_shards, n_groups, ep), dtype=np.int32)
-    edge_mask = np.zeros((num_shards, n_groups, ep), dtype=bool)
+    edge_local_row = np.zeros((num_shards, e0), dtype=np.int32)
+    edge_local_slot = np.zeros((num_shards, e0), dtype=np.int32)
+    edge_local_mask = np.zeros((num_shards, e0), dtype=bool)
+    edge_halo_row = np.zeros((num_shards, chunks, eh), dtype=np.int32)
+    edge_halo_slot = np.zeros((num_shards, chunks, eh), dtype=np.int32)
+    edge_halo_mask = np.zeros((num_shards, chunks, eh), dtype=bool)
     for s in range(num_shards):
-        for g, (rows_g, slots_g) in enumerate(grouped[s]):
-            k = len(rows_g)
-            edge_row[s, g, :k] = rows_g
-            edge_slot[s, g, :k] = slots_g
-            edge_mask[s, g, :k] = True
+        rows_l, slots_l = local_lists[s]
+        k = len(rows_l)
+        edge_local_row[s, :k] = rows_l
+        edge_local_slot[s, :k] = slots_l
+        edge_local_mask[s, :k] = True
+        for c, (rows_c, slots_c) in enumerate(halo_lists[s]):
+            k = len(rows_c)
+            edge_halo_row[s, c, :k] = rows_c
+            edge_halo_slot[s, c, :k] = slots_c
+            edge_halo_mask[s, c, :k] = True
         # padded edges keep row 0 / slot 0 (masked)
 
     h0 = np.zeros((num_shards, np_pad, graph.num_features), feats.dtype)
@@ -211,15 +227,18 @@ def build_node_partition(
         nodes_per_shard=np_pad,
         halo_size=m,
         halo_chunks=chunks,
-        chunk_size=mc,
+        chunk_sizes=chunk_sizes,
         offsets=jnp.asarray(offsets),
         sizes=jnp.asarray(sizes),
         h0=jnp.asarray(h0),
         labels=jnp.asarray(lab),
         node_mask=jnp.asarray(node_mask),
-        edge_row=jnp.asarray(edge_row),
-        edge_slot=jnp.asarray(edge_slot),
-        edge_mask=jnp.asarray(edge_mask),
+        edge_local_row=jnp.asarray(edge_local_row),
+        edge_local_slot=jnp.asarray(edge_local_slot),
+        edge_local_mask=jnp.asarray(edge_local_mask),
+        edge_halo_row=jnp.asarray(edge_halo_row),
+        edge_halo_slot=jnp.asarray(edge_halo_slot),
+        edge_halo_mask=jnp.asarray(edge_halo_mask),
         send_plan=jnp.asarray(send_plan),
         stacked_index=jnp.asarray(stacked_index),
     )
@@ -230,9 +249,8 @@ def halo_spmm_mean(
     part: NodePartition,
     h_local: jax.Array,  # [1, Np, F] — this shard's rows (inside shard_map)
     send_plan_local: jax.Array,  # [1, S, M] — this shard's send plan
-    edge_row: jax.Array,  # [1, 1+C, Eg]
-    edge_slot: jax.Array,  # [1, 1+C, Eg]
-    edge_mask: jax.Array,  # [1, 1+C, Eg]
+    e_local: tuple,  # (row, slot, mask), each [1, E0]
+    e_halo: tuple,  # (row, slot, mask), each [1, C, Eh]
 ) -> tuple[jax.Array, jax.Array]:
     """One halo-exchanged mean aggregation step (call inside shard_map).
 
@@ -243,26 +261,32 @@ def halo_spmm_mean(
     aggregation. Returns ``(mean [1, Np, F], valid_count [1, Np])``."""
     np_, f = h_local.shape[1], h_local.shape[2]
     s_axis = jax.lax.axis_size(axis)
-    mc = part.chunk_size
     h0 = h_local[0]
+    lrow, lslot, lmask = e_local
+    hrow, hslot, hmask = e_halo
 
-    def seg(buf, g):
-        w = edge_mask[0, g].astype(h_local.dtype)
-        per_edge = jnp.take(buf, edge_slot[0, g], axis=0) * w[:, None]
+    def seg(buf, row, slot, mask):
+        w = mask.astype(h_local.dtype)
+        per_edge = jnp.take(buf, slot, axis=0) * w[:, None]
         return (
-            jax.ops.segment_sum(per_edge, edge_row[0, g], num_segments=np_),
-            jax.ops.segment_sum(w, edge_row[0, g], num_segments=np_),
+            jax.ops.segment_sum(per_edge, row, num_segments=np_),
+            jax.ops.segment_sum(w, row, num_segments=np_),
         )
 
-    summed, count = seg(h0, 0)  # local edges — no communication needed
-    for c in range(part.halo_chunks):
-        sp = send_plan_local[0][:, c * mc : (c + 1) * mc]  # [S, mc]
+    # Local edges — no communication needed.
+    summed, count = seg(h0, lrow[0], lslot[0], lmask[0])
+    off = 0
+    for c, mc in enumerate(part.chunk_sizes):
+        sp = send_plan_local[0][:, off : off + mc]  # [S, mc]
+        off += mc
         send = jnp.take(h0, sp.reshape(-1), axis=0).reshape(s_axis, mc, f)
         recv = jax.lax.all_to_all(
             send, axis, split_axis=0, concat_axis=0, tiled=False
         )
         # recv[t] = chunk-c rows this shard requested from shard t.
-        s_c, c_c = seg(recv.reshape(s_axis * mc, f), 1 + c)
+        s_c, c_c = seg(
+            recv.reshape(s_axis * mc, f), hrow[0, c], hslot[0, c], hmask[0, c]
+        )
         summed = summed + s_c
         count = count + c_c
     return (summed / jnp.maximum(count, 1.0)[:, None])[None], count[None]
@@ -283,16 +307,14 @@ def halo_full_graph_logits(
 
     from graphsage_tpu.models.layers import apply_full_graph_mean_layer
 
-    def shard_fn(h, send_plan, edge_row, edge_slot, edge_mask):
+    def shard_fn(h, send_plan, e_local, e_halo):
         if model.compute_dtype is not None:
             h = h.astype(model.compute_dtype)
 
         def spmm(x):
             # Project-first upstream means the boundary all_to_all moves
             # d_out-wide rows instead of d_in-wide.
-            return halo_spmm_mean(
-                axis, part, x, send_plan, edge_row, edge_slot, edge_mask
-            )
+            return halo_spmm_mean(axis, part, x, send_plan, e_local, e_halo)
 
         for l in range(model.num_layers):
             h = apply_full_graph_mean_layer(
@@ -311,9 +333,14 @@ def halo_full_graph_logits(
     stacked = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), (P(axis),) * 3, (P(axis),) * 3),
         out_specs=P(axis),
-    )(part.h0, part.send_plan, part.edge_row, part.edge_slot, part.edge_mask)
+    )(
+        part.h0,
+        part.send_plan,
+        (part.edge_local_row, part.edge_local_slot, part.edge_local_mask),
+        (part.edge_halo_row, part.edge_halo_slot, part.edge_halo_mask),
+    )
 
     flat = stacked.reshape(part.num_shards * part.nodes_per_shard, -1)
     return jnp.take(flat, part.stacked_index, axis=0)

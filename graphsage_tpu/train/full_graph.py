@@ -37,6 +37,7 @@ class FullGraphTrainer:
         config: TrainConfig,
         mesh: Optional[Mesh] = None,
         axis: str = "graph",
+        partition=None,  # Optional prebuilt NodePartition (avoids the O(E) host precompute twice)
     ):
         if mesh is not None and model.aggregator != "mean":
             raise NotImplementedError(
@@ -60,7 +61,11 @@ class FullGraphTrainer:
                 halo_full_graph_logits,
             )
 
-            self._part = build_node_partition(graph, mesh.shape[axis])
+            self._part = (
+                partition
+                if partition is not None
+                else build_node_partition(graph, mesh.shape[axis])
+            )
             self._logits_fn = lambda p: halo_full_graph_logits(
                 model, p, self._part, mesh, axis
             )
@@ -93,6 +98,10 @@ class FullGraphTrainer:
     def _block(self, state: TrainState, n: int) -> tuple[TrainState, jax.Array]:
         """``n`` full-batch steps per dispatch (relay costs ~28 ms/call)."""
         return jax.lax.scan(lambda st, _: self._step(st), state, None, length=n)
+
+    def step(self, state: TrainState) -> tuple[TrainState, jax.Array]:
+        """One jitted full-batch training step (public single-step API)."""
+        return self._jit_step(state)
 
     def init_state(self) -> TrainState:
         key = jax.random.PRNGKey(self.cfg.seed)

@@ -27,7 +27,9 @@ def model(graph):
 
 def test_partition_covers_all_edges(graph):
     part = build_node_partition(graph, 8)
-    assert int(np.asarray(part.edge_mask).sum()) == graph.num_edges
+    real = int(np.asarray(part.edge_local_mask).sum()) + int(
+        np.asarray(part.edge_halo_mask).sum())
+    assert real == graph.num_edges
     assert int(np.asarray(part.sizes).sum()) == graph.num_nodes
     # stacked_index maps every global node to a unique stacked position
     idx = np.asarray(part.stacked_index)
@@ -134,8 +136,9 @@ def test_halo_chunked_exchange_matches_single(graph, chunks):
     mesh = make_mesh({"graph": 8})
     part = build_node_partition(graph, 8, halo_chunks=chunks)
     assert part.halo_chunks <= max(1, chunks)
-    assert part.halo_size == part.chunk_size * part.halo_chunks
-    assert part.edge_row.shape[1] == 1 + part.halo_chunks
+    assert part.halo_size == sum(part.chunk_sizes)
+    assert all(mc % 8 == 0 for mc in part.chunk_sizes)
+    assert part.edge_halo_row.shape[1] == part.halo_chunks
     want = model.forward_full_graph(params, graph)
     got = halo_full_graph_logits(model, params, part, mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
