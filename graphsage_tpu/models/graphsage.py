@@ -315,7 +315,11 @@ class GraphSAGE:
 
     # --------------------------------------------------------- full graph
     def forward_full_graph(
-        self, params: SAGEParams, graph: Graph, return_embeddings: bool = False
+        self,
+        params: SAGEParams,
+        graph: Graph,
+        return_embeddings: bool = False,
+        spmm_override=None,  # callable x -> (neigh_mean, valid_count); mean only
     ) -> jax.Array:
         """Deterministic logits for every node, using complete neighborhoods.
 
@@ -329,6 +333,8 @@ class GraphSAGE:
         if self.compute_dtype is not None:
             h = h.astype(self.compute_dtype)
         def spmm(x):
+            if spmm_override is not None:
+                return spmm_override(x)
             mean = spmm_mean(
                 x, graph.edge_src, graph.edge_dst, graph.edge_mask,
                 graph.num_nodes, indptr=graph.indptr, impl=self.spmm_impl,
