@@ -64,10 +64,17 @@ def plan_bucketed_spmm(
         lo = hi
         if len(members) == 0:
             continue
+        # Vectorized ELL fill (no per-row Python — a 1M-node plan must not
+        # slice a million row segments): flat CSR positions of every member
+        # edge, plus its within-row rank.
+        deg_m = degrees[members]
+        total = int(deg_m.sum())
+        row_idx = np.repeat(np.arange(len(members)), deg_m)
+        row_start = np.concatenate([[0], np.cumsum(deg_m)[:-1]])
+        within = np.arange(total) - np.repeat(row_start, deg_m)
+        src_pos = np.repeat(indptr[members], deg_m) + within
         ell = np.zeros((len(members), w), np.int32)
-        for i, v in enumerate(members):  # bounded by bucket size, not E
-            d = degrees[v]
-            ell[i, :d] = edge_dst[indptr[v] : indptr[v] + d]
+        ell[row_idx, within] = edge_dst[src_pos]
         inv_perm[members] = pos + np.arange(len(members))
         pos += len(members)
         ells.append(jnp.asarray(ell))
