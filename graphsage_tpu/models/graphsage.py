@@ -232,7 +232,14 @@ class GraphSAGE:
                         precision=self.matmul_precision,
                     ).astype(jnp.float32)
                     pre = pre + gather(table_self, frontier.ids[L - 1])
-                h = jax.nn.relu(pre).astype(params.layers[0].weight.dtype)
+                # Keep activations in compute_dtype when set (mirrors
+                # apply_full_graph_mean_layer's .astype(h.dtype)) so bf16
+                # carries through the remaining layers.
+                h = jax.nn.relu(pre).astype(
+                    self.compute_dtype
+                    if self.compute_dtype is not None
+                    else params.layers[0].weight.dtype
+                )
             else:
                 if self.concat_self:
                     self_h = gather(features, frontier.ids[L - 1])

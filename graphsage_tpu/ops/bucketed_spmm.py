@@ -14,8 +14,14 @@ Backward uses the symmetric-adjacency identity (undirected graphs,
 to XLA segment-sum.
 
 Buckets are built from CSR (never the capped ELL view), so hub rows keep
-their full neighbor lists; the last bucket's width is the true max degree
-(hubs are rare, so its padded table stays small).
+their full neighbor lists. ELL bucket widths are capped at ``hub_cap``
+(default 256): an uncapped last bucket would be the graph's true max degree,
+and since ``_bucketed_pass`` statically unrolls one gather per slot, a
+power-law hub (max degree >10K) would emit >10K HLO gathers per pass —
+doubled by the custom backward, per layer, inside ``lax.scan`` — a
+trace/compile blowup plus huge padded-gather waste. Rows with degree above
+the cap instead aggregate through one exact COO gather + segment-sum over
+just their CSR edges (the scatter floor, but only on the rare hub edges).
 """
 
 from __future__ import annotations
@@ -39,19 +45,29 @@ class BucketedPlan(NamedTuple):
     ell: tuple  # per bucket: int32 [N_b, w_b] neighbor ids (0-padded)
     deg: tuple  # per bucket: float32 [N_b] true degrees
     widths: tuple  # static per-bucket ELL widths
+    # Hub overflow (rows with degree > hub_cap), appended after the ELL
+    # buckets in the concat order; aggregated by COO segment-sum. All None
+    # when no row exceeds the cap.
+    hub_edge_src: jax.Array | None = None  # [E_hub] global src-node ids
+    hub_edge_row: jax.Array | None = None  # [E_hub] local hub-row index
+    hub_deg: jax.Array | None = None  # [N_hub] float32 true degrees
 
 
 def plan_bucketed_spmm(
-    graph: Graph, widths: Sequence[int] = (8, 32, 128)
+    graph: Graph, widths: Sequence[int] = (8, 32, 128), hub_cap: int = 256
 ) -> BucketedPlan:
-    """Build the degree-bucket plan from the graph's (full) CSR."""
+    """Build the degree-bucket plan from the graph's (full) CSR.
+
+    ``hub_cap`` bounds the widest ELL bucket (and thereby the static gather
+    unroll); rows above it go to the COO hub group."""
     indptr = np.asarray(graph.indptr)
     edge_dst = np.asarray(graph.edge_dst)
     degrees = (indptr[1:] - indptr[:-1]).astype(np.int64)
     n = graph.num_nodes
     max_deg = int(degrees.max()) if n else 1
 
-    bounds = [w for w in sorted(widths) if w < max_deg] + [max(max_deg, 1)]
+    cap_eff = min(max_deg, int(hub_cap))
+    bounds = [w for w in sorted(widths) if w < cap_eff] + [max(cap_eff, 1)]
     order = np.argsort(degrees, kind="stable")
     inv_perm = np.empty(n, np.int32)
 
@@ -81,11 +97,31 @@ def plan_bucketed_spmm(
         degs.append(jnp.asarray(degrees[members].astype(np.float32)))
         used_widths.append(w)
 
+    # Hub rows (degree > cap): exact COO edges, one segment-sum — no padding,
+    # no unroll growth with max degree.
+    hub_edge_src = hub_edge_row = hub_deg = None
+    hubs = order[lo:]
+    if len(hubs):
+        deg_h = degrees[hubs]
+        hub_edge_row = np.repeat(np.arange(len(hubs), dtype=np.int32), deg_h)
+        within = (
+            np.arange(int(deg_h.sum())) -
+            np.repeat(np.concatenate([[0], np.cumsum(deg_h)[:-1]]), deg_h)
+        )
+        hub_edge_src = edge_dst[np.repeat(indptr[hubs], deg_h) + within]
+        inv_perm[hubs] = pos + np.arange(len(hubs))
+        hub_edge_src = jnp.asarray(hub_edge_src.astype(np.int32))
+        hub_edge_row = jnp.asarray(hub_edge_row)
+        hub_deg = jnp.asarray(deg_h.astype(np.float32))
+
     return BucketedPlan(
         inv_perm=jnp.asarray(inv_perm),
         ell=tuple(ells),
         deg=tuple(degs),
         widths=tuple(used_widths),
+        hub_edge_src=hub_edge_src,
+        hub_edge_row=hub_edge_row,
+        hub_deg=hub_deg,
     )
 
 
@@ -105,6 +141,15 @@ def _bucketed_pass(x: jax.Array, plan: BucketedPlan, normalize: bool) -> jax.Arr
         if normalize:
             acc = acc / jnp.maximum(deg, 1.0)[:, None].astype(x.dtype)
         parts.append(acc)
+    if plan.hub_deg is not None:
+        hub = jax.ops.segment_sum(
+            jnp.take(x, plan.hub_edge_src, axis=0),
+            plan.hub_edge_row,
+            num_segments=plan.hub_deg.shape[0],
+        )
+        if normalize:
+            hub = hub / plan.hub_deg[:, None].astype(x.dtype)
+        parts.append(hub)
     stacked = jnp.concatenate(parts, axis=0)
     return jnp.take(stacked, plan.inv_perm, axis=0)
 
@@ -116,7 +161,10 @@ def make_spmm_mean_bucketed(plan: BucketedPlan):
     stay static under jit. Only valid for symmetric adjacency (the backward
     uses ``A == A^T``); callers must check ``Graph.symmetric``.
     """
-    deg_full = jnp.take(jnp.concatenate(list(plan.deg)), plan.inv_perm, axis=0)
+    deg_parts = list(plan.deg)
+    if plan.hub_deg is not None:
+        deg_parts.append(plan.hub_deg)
+    deg_full = jnp.take(jnp.concatenate(deg_parts), plan.inv_perm, axis=0)
 
     @jax.custom_vjp
     def spmm_mean(x: jax.Array) -> jax.Array:

@@ -71,6 +71,18 @@ class FullGraphTrainer:
             )
         elif (
             model.aggregator == "mean"
+            and model.spmm_impl == "bucketed_ell"
+            and not graph.symmetric
+        ):
+            # The bucketed custom backward relies on A == A^T; failing later
+            # inside aggregate.spmm_mean with "unknown impl" would mislead.
+            raise ValueError(
+                "spmm_impl='bucketed_ell' requires symmetric adjacency "
+                "(graph.symmetric is False, e.g. built with max_degree "
+                "truncation); use spmm_impl='auto' or 'xla'"
+            )
+        elif (
+            model.aggregator == "mean"
             and model.spmm_impl in ("auto", "bucketed_ell")
             and graph.symmetric
         ):

@@ -142,24 +142,39 @@ class Trainer:
         return jax.lax.scan(body, state, seeds_all)
 
     # ------------------------------------------------------------------ batches
-    def batches(self):
-        """Yield seed-id arrays of static ``batch_size`` indefinitely."""
+    def batches(self, start_step: int = 0):
+        """Yield seed-id arrays of static ``batch_size`` indefinitely.
+
+        ``start_step`` resumes the stream mid-run (checkpoint restore):
+        epoch mode seeds each epoch's shuffle independently from
+        ``(seed, epoch)``, so skipping ahead is O(1) — no replay of every
+        discarded batch. Reference mode's order is inherently sequential
+        (each batch is the head of the previous shuffle, quirk Q5), so it
+        replays only the shuffles, never materializing skipped batches.
+        """
         cfg = self.cfg
         train = np.asarray(self.train_nodes).copy()
         if cfg.batching == "reference":
             rng = _pyrandom.Random(cfg.seed)
             pool = list(train)
+            for _ in range(start_step):
+                rng.shuffle(pool)
             while True:
                 yield np.asarray(pool[: cfg.batch_size], dtype=np.int32)
                 rng.shuffle(pool)
         elif cfg.batching == "epoch":
-            rng = np.random.default_rng(cfg.seed)
+            bpe = -(-len(train) // cfg.batch_size)  # batches per epoch
+            epoch = start_step // bpe
+            start_i = (start_step % bpe) * cfg.batch_size
             while True:
-                rng.shuffle(train)
+                shuffled = train.copy()
+                np.random.default_rng((cfg.seed, epoch)).shuffle(shuffled)
                 # wrap around so every batch keeps the static size
-                padded = np.concatenate([train, train[: cfg.batch_size]])
-                for i in range(0, len(train), cfg.batch_size):
+                padded = np.concatenate([shuffled, shuffled[: cfg.batch_size]])
+                for i in range(start_i, len(train), cfg.batch_size):
                     yield padded[i : i + cfg.batch_size].astype(np.int32)
+                start_i = 0
+                epoch += 1
         else:
             raise ValueError(f"unknown batching mode {self.cfg.batching!r}")
 
@@ -219,10 +234,9 @@ class Trainer:
         """
         cfg = self.cfg
         state = initial_state if initial_state is not None else self.init_state()
-        batch_iter = self.batches()
-        if initial_state is not None:
-            for _ in range(int(initial_state.step)):
-                next(batch_iter)
+        batch_iter = self.batches(
+            start_step=int(initial_state.step) if initial_state is not None else 0
+        )
         # Short runs keep the legacy per-step loop (its steady-state timing
         # excludes the first-step compile); longer runs scan
         # ``steps_per_dispatch`` steps per device dispatch.
