@@ -127,7 +127,8 @@ def main() -> None:
                     "pubmed_intent_fanout_10_25": {
                         k: round(v, 8) for k, v in pubmed.items()
                     },
-                    "powerlaw_100k_nodes_2m_edges": {
+                    # 1M undirected input edges -> ~2M directed slots post-mirroring
+                    "powerlaw_100k_nodes_1m_undirected_2m_slots": {
                         k: round(v, 8) for k, v in powerlaw.items()
                     },
                     "device": str(jax.devices()[0]),

@@ -5,8 +5,12 @@ multiplying it with a gathered feature matrix (reference
 graphsage/aggregators.py:50-64). Here aggregation is expressed directly as
 masked reductions over static-shape gathered neighborhoods (minibatch path)
 or as edge-segment sums over CSR/COO (full-graph path) — both forms XLA maps
-straight onto TPU gathers + VPU reductions, with a Pallas fused kernel
-(:mod:`graphsage_tpu.ops.pallas_gather`) available for the hot gather-mean.
+straight onto TPU gathers + VPU reductions. Two Pallas kernels back the hot
+gather-mean: the one-hot MXU matmul (:mod:`graphsage_tpu.ops.pallas_onehot`,
+the small-table winner, in the ``"auto"`` dispatch) and the streaming-DMA
+kernel (:mod:`graphsage_tpu.ops.pallas_gather`, selectable as
+``impl="dma"`` — measured slower than the unrolled XLA gather on v5e due to
+8-row DMA alignment, so never auto-selected; see docs/ROOFLINE.md).
 
 Denominator semantics follow the reference (quirk Q8): the mean divides by the
 number of *valid* sampled neighbors, ``min(degree, fanout)``, never by the
@@ -110,6 +114,17 @@ def _gather_mean_fwd_dispatch(
         return acc / jnp.maximum(w.sum(axis=-1, keepdims=True), 1.0)
     if impl == "take":
         return masked_mean(jnp.take(features, idx, axis=0), mask)
+    if impl == "dma":
+        from graphsage_tpu.ops.pallas_gather import _gather_mean_impl
+
+        lead = idx.shape[:-1]
+        out = _gather_mean_impl(
+            features,
+            idx.reshape(-1, idx.shape[-1]),
+            mask.reshape(-1, mask.shape[-1]),
+            interpret=jax.default_backend() in ("cpu",),
+        )
+        return out.reshape(*lead, features.shape[-1])
     raise ValueError(f"unknown gather_mean impl {impl!r}")
 
 
@@ -133,6 +148,10 @@ def gather_mean(
       2.1x faster than take at Pubmed shapes (2.5 ms vs 5.3 ms).
     * ``"take"`` — XLA gather of ``[B, k, F]`` + masked mean. The simple
       oracle path (exact same math as unrolled; both exact f32).
+    * ``"dma"`` — streaming double-buffered DMA Pallas kernel
+      (:mod:`graphsage_tpu.ops.pallas_gather`). Roofline-minimal traffic in
+      theory, but 8-row DMA alignment costs 8x read amplification on random
+      rows (measured slower than unrolled on v5e) — opt-in, never "auto".
     * ``"auto"`` — cost-model routing between onehot_pallas and unrolled on
       TPU; take on CPU (Pallas would run interpreted).
 

@@ -74,7 +74,13 @@ def restore_checkpoint(path: str | os.PathLike, template: T) -> T:
         want = np.shape(leaf)
         if tuple(arr.shape) != tuple(want):
             raise ValueError(f"{key!r}: checkpoint shape {arr.shape} != template {want}")
-        leaves.append(jax.numpy.asarray(arr, dtype=np.asarray(leaf).dtype))
+        want_dtype = np.asarray(leaf).dtype
+        if arr.dtype != want_dtype:
+            raise ValueError(
+                f"{key!r}: checkpoint dtype {arr.dtype} != template {want_dtype} "
+                "(a silent cast would mask a bf16/f32 mixup)"
+            )
+        leaves.append(jax.numpy.asarray(arr, dtype=want_dtype))
     if loaded:
         raise ValueError(f"checkpoint has extra entries: {sorted(loaded)[:5]}")
     return jax.tree_util.tree_unflatten(

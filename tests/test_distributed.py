@@ -80,7 +80,6 @@ def test_sharded_trainer_matches_single_device(graph):
 
     single = Trainer(model, graph, cfg)
     s_state = single.init_state()
-    batches = [next(iter([b])) for b in [None]]  # placeholder
     it1 = single.batches()
     losses1 = []
     for _ in range(cfg.num_steps):

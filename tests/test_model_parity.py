@@ -72,10 +72,9 @@ def test_two_layer_full_graph_parity(tiny_graph, concat_self):
         head=jnp.asarray(wc_ref.T),
     )
 
-    # Full-graph path (mean aggregator only supports no-concat there for now).
-    if not concat_self or True:
-        logits_full = np.asarray(model.forward_full_graph(params, g))
-        np.testing.assert_allclose(logits_full, logits_oracle, rtol=1e-4, atol=1e-4)
+    # Full-graph path must agree in every combine mode.
+    logits_full = np.asarray(model.forward_full_graph(params, g))
+    np.testing.assert_allclose(logits_full, logits_oracle, rtol=1e-4, atol=1e-4)
 
     # Sampled path with fanout=None must agree too (same math, frontier form).
     seeds = jnp.arange(g.num_nodes, dtype=jnp.int32)
