@@ -33,6 +33,7 @@ path (and the unit of work the edge-partitioned distributed mode shards).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Sequence
 
 import jax
@@ -188,9 +189,29 @@ class GraphSAGE:
         features: jax.Array,
         frontier: Frontier,
         return_embeddings: bool = False,
+        *,
+        gather_fn=None,
+        gather_mean_fn=None,
     ) -> jax.Array:
         """Logits ``[B, num_classes]`` for the frontier's seed batch
-        (or the pre-head representations with ``return_embeddings``)."""
+        (or the pre-head representations with ``return_embeddings``).
+
+        ``gather_fn(table, ids)`` / ``gather_mean_fn(table, ids, mask)``
+        override the feature-table lookup primitives — the injection point
+        for the node-sharded feature store (parallel/feature_store.py),
+        whose versions exchange requested rows across shards while
+        ``features`` is only this chip's node-range slice. Defaults are the
+        local single-table ops (the reference's ``nn.Embedding`` lookup
+        role, model.py:70-71).
+        """
+        if gather_fn is None:
+            gather_fn = gather
+        if gather_mean_fn is None:
+            gather_mean_fn = functools.partial(
+                gather_mean,
+                impl=self.gather_impl,
+                bf16=self.compute_dtype == jnp.bfloat16,
+            )
         L = self.num_layers
         start_l = 0
         if self.aggregator == "mean":
@@ -220,18 +241,14 @@ class GraphSAGE:
                     preferred_element_type=jnp.float32,
                     precision=self.matmul_precision,
                 ).astype(jnp.float32)
-                pre = gather_mean(
-                    table, neigh_ids, neigh_mask,
-                    impl=self.gather_impl,
-                    bf16=self.compute_dtype == jnp.bfloat16,
-                )
+                pre = gather_mean_fn(table, neigh_ids, neigh_mask)
                 if self.concat_self:
                     table_self = jnp.einsum(
                         "nf,fo->no", feats, w_self,
                         preferred_element_type=jnp.float32,
                         precision=self.matmul_precision,
                     ).astype(jnp.float32)
-                    pre = pre + gather(table_self, frontier.ids[L - 1])
+                    pre = pre + gather_fn(table_self, frontier.ids[L - 1])
                 # Keep activations in compute_dtype when set (mirrors
                 # apply_full_graph_mean_layer's .astype(h.dtype)) so bf16
                 # carries through the remaining layers.
@@ -242,16 +259,12 @@ class GraphSAGE:
                 )
             else:
                 if self.concat_self:
-                    self_h = gather(features, frontier.ids[L - 1])
+                    self_h = gather_fn(features, frontier.ids[L - 1])
                     if self.compute_dtype is not None:
                         self_h = self_h.astype(self.compute_dtype)
                 else:
                     self_h = None
-                agg = gather_mean(
-                    features, neigh_ids, neigh_mask,
-                    impl=self.gather_impl,
-                    bf16=self.compute_dtype == jnp.bfloat16,
-                )
+                agg = gather_mean_fn(features, neigh_ids, neigh_mask)
                 h = apply_sage_layer(
                     params.layers[0],
                     self_h,
@@ -265,7 +278,7 @@ class GraphSAGE:
                 )
             start_l = 1
         else:
-            h = gather(features, frontier.ids[L])
+            h = gather_fn(features, frontier.ids[L])
             if self.compute_dtype is not None:
                 h = h.astype(self.compute_dtype)
         for l in range(start_l, L):
@@ -403,9 +416,15 @@ class GraphSAGE:
         features: jax.Array,
         frontier: Frontier,
         labels: jax.Array,
+        *,
+        gather_fn=None,
+        gather_mean_fn=None,
     ) -> jax.Array:
         """Mean softmax cross-entropy (reference model.py:35-37)."""
-        logits = self.forward(params, features, frontier)
+        logits = self.forward(
+            params, features, frontier,
+            gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
+        )
         return optax.softmax_cross_entropy_with_integer_labels(
             logits, labels.reshape(-1)
         ).mean()

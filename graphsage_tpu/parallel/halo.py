@@ -298,10 +298,17 @@ def halo_full_graph_logits(
     part: NodePartition,
     mesh: Mesh,
     axis: str = "graph",
+    h0: jax.Array | None = None,
 ) -> jax.Array:
     """Full-graph logits ``[N, C]`` with halo-exchange aggregation.
 
-    Matches :meth:`GraphSAGE.forward_full_graph` allclose (test-pinned)."""
+    Matches :meth:`GraphSAGE.forward_full_graph` allclose (test-pinned).
+
+    ``h0`` overrides the partition's stacked feature payload — pass it as a
+    jit *argument* from training loops: a closed-over ``part.h0`` becomes an
+    HLO constant, and XLA then constant-folds the whole first-layer
+    aggregation at compile time (minutes-long compiles at 100K+ nodes).
+    """
     if model.aggregator != "mean":
         raise NotImplementedError("halo path supports the mean aggregator")
 
@@ -336,7 +343,7 @@ def halo_full_graph_logits(
         in_specs=(P(axis), P(axis), (P(axis),) * 3, (P(axis),) * 3),
         out_specs=P(axis),
     )(
-        part.h0,
+        part.h0 if h0 is None else h0,
         part.send_plan,
         (part.edge_local_row, part.edge_local_slot, part.edge_local_mask),
         (part.edge_halo_row, part.edge_halo_slot, part.edge_halo_mask),

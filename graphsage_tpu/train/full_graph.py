@@ -55,6 +55,11 @@ class FullGraphTrainer:
         train_mask[self.train_nodes] = True
         self._train_mask = jnp.asarray(train_mask)
 
+        # The feature payload is threaded through jit as an ARGUMENT
+        # (self._payload): closing over it would bake a multi-MB HLO
+        # constant into the step, and XLA constant-folds the entire
+        # first-layer aggregation over constants at compile time — a
+        # minutes-long compile at 100K+ nodes.
         if mesh is not None:
             from graphsage_tpu.parallel.halo import (
                 build_node_partition,
@@ -66,8 +71,9 @@ class FullGraphTrainer:
                 if partition is not None
                 else build_node_partition(graph, mesh.shape[axis])
             )
-            self._logits_fn = lambda p: halo_full_graph_logits(
-                model, p, self._part, mesh, axis
+            self._payload = self._part.h0
+            self._logits_fn = lambda p, h0: halo_full_graph_logits(
+                model, p, self._part, mesh, axis, h0=h0
             )
         elif (
             model.aggregator == "mean"
@@ -97,27 +103,33 @@ class FullGraphTrainer:
             self._part = None
             bucketed = make_spmm_mean_bucketed(plan_bucketed_spmm(graph))
             override = lambda x: (bucketed(x), graph.degrees)
-            self._logits_fn = lambda p: model.forward_full_graph(
-                p, graph, spmm_override=override
+            self._payload = graph.features
+            self._logits_fn = lambda p, feats: model.forward_full_graph(
+                p, graph.replace(features=feats), spmm_override=override
             )
         else:
             self._part = None
-            self._logits_fn = lambda p: model.forward_full_graph(p, graph)
+            self._payload = graph.features
+            self._logits_fn = lambda p, feats: model.forward_full_graph(
+                p, graph.replace(features=feats)
+            )
 
         self._jit_step = jax.jit(self._step)
         self._jit_block = jax.jit(self._block, static_argnums=(1,))
         self._jit_logits = jax.jit(self._logits_fn)
 
-    def _loss(self, params: SAGEParams) -> jax.Array:
-        logits = self._logits_fn(params)
+    def _loss(self, params: SAGEParams, payload: jax.Array) -> jax.Array:
+        logits = self._logits_fn(params, payload)
         ce = optax.softmax_cross_entropy_with_integer_labels(
             logits, self.graph.labels
         )
         w = self._train_mask.astype(ce.dtype)
         return (ce * w).sum() / w.sum()
 
-    def _step(self, state: TrainState) -> tuple[TrainState, jax.Array]:
-        loss, grads = jax.value_and_grad(self._loss)(state.params)
+    def _step(
+        self, state: TrainState, payload: jax.Array
+    ) -> tuple[TrainState, jax.Array]:
+        loss, grads = jax.value_and_grad(self._loss)(state.params, payload)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (
@@ -126,13 +138,17 @@ class FullGraphTrainer:
             loss,
         )
 
-    def _block(self, state: TrainState, n: int) -> tuple[TrainState, jax.Array]:
+    def _block(
+        self, state: TrainState, n: int, payload: jax.Array
+    ) -> tuple[TrainState, jax.Array]:
         """``n`` full-batch steps per dispatch (relay costs ~28 ms/call)."""
-        return jax.lax.scan(lambda st, _: self._step(st), state, None, length=n)
+        return jax.lax.scan(
+            lambda st, _: self._step(st, payload), state, None, length=n
+        )
 
     def step(self, state: TrainState) -> tuple[TrainState, jax.Array]:
         """One jitted full-batch training step (public single-step API)."""
-        return self._jit_step(state)
+        return self._jit_step(state, self._payload)
 
     def init_state(self) -> TrainState:
         key = jax.random.PRNGKey(self.cfg.seed)
@@ -142,7 +158,7 @@ class FullGraphTrainer:
                           step=jnp.zeros((), jnp.int32))
 
     def evaluate(self, state: TrainState, nodes: np.ndarray) -> dict[str, float]:
-        logits = np.asarray(self._jit_logits(state.params))
+        logits = np.asarray(self._jit_logits(state.params, self._payload))
         preds = logits.argmax(axis=-1)[np.asarray(nodes)]
         truth = np.asarray(self.graph.labels)[np.asarray(nodes)]
         return {
@@ -168,10 +184,10 @@ class FullGraphTrainer:
             n = min(block, self.cfg.num_steps - done)
             t0 = time.perf_counter()
             if n > 1:
-                state, block_losses = self._jit_block(state, n)
+                state, block_losses = self._jit_block(state, n, self._payload)
                 block_losses = np.asarray(block_losses)  # completion barrier
             else:
-                state, loss = self._jit_step(state)
+                state, loss = self._jit_step(state, self._payload)
                 block_losses = np.asarray([float(loss)])
             times.append((time.perf_counter() - t0) / n)
             for j, loss in enumerate(block_losses):

@@ -1,0 +1,142 @@
+"""Node-sharded feature store: cross-shard gather exactness, trainer loss
+parity vs single-device, memory accounting (VERDICT.md round-1 item 1;
+SURVEY.md §2.3 row 3 — the sharded ``nn.Embedding`` lookup, model.py:70-71).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from graphsage_tpu.data.synthetic import power_law_graph
+from graphsage_tpu.models.graphsage import GraphSAGE
+from graphsage_tpu.parallel.feature_store import (
+    ShardedFeatureTrainer,
+    shard_features,
+    sharded_row_gather,
+)
+from graphsage_tpu.parallel.mesh import make_mesh
+from graphsage_tpu.train.config import TrainConfig
+from graphsage_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return power_law_graph(
+        num_nodes=200, num_edges=800, num_feats=48, num_classes=5, seed=7,
+        homophily=0.8,
+    )
+
+
+def test_sharded_row_gather_exact(graph):
+    mesh = make_mesh({"data": 8})
+    fs = shard_features(graph.features, 8)
+    rng = np.random.default_rng(0)
+    # 8 shards x 16 requests each, including repeats and cross-shard rows.
+    ids = rng.integers(0, graph.num_nodes, size=(8, 16)).astype(np.int32)
+
+    def f(shard, ids_local):
+        return sharded_row_gather("data", shard[0], ids_local[0])[None]
+
+    out = shard_map(
+        f, mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"),
+    )(fs.shards, jnp.asarray(ids))
+    want = np.asarray(graph.features)[ids.reshape(-1)].reshape(8, 16, -1)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_row_gather_grad_is_scatter_add(graph):
+    """d/dtable of sum(gather(table, ids) * g) must scatter g into the
+    owned rows — the feature/projection cotangent the backward needs."""
+    mesh = make_mesh({"data": 8})
+    fs = shard_features(graph.features, 8)
+    ids = np.arange(8 * 8).reshape(8, 8).astype(np.int32) % graph.num_nodes
+
+    def loss(shards):
+        def f(shard, ids_local):
+            rows = sharded_row_gather("data", shard[0], ids_local[0])
+            return ((rows * rows).sum() / 2)[None]
+
+        per = shard_map(
+            f, mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"),
+        )(shards, jnp.asarray(ids))
+        return per.sum()
+
+    g = jax.grad(loss)(fs.shards)
+    # Oracle: scatter-add of the gathered rows themselves.
+    feats = np.asarray(graph.features)
+    want = np.zeros_like(np.asarray(fs.shards))
+    rows_per = fs.rows_per_shard
+    for v in ids.reshape(-1):
+        s, r = divmod(int(v), rows_per)
+        want[s, r] += feats[v]
+    np.testing.assert_allclose(np.asarray(g), want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "mode",
+    ["plain", "concat_self", "self_loop", "maxpool"],
+)
+def test_sharded_trainer_matches_single_device(graph, mode):
+    kw = dict(
+        in_dim=graph.num_features, num_classes=graph.num_classes,
+        hidden_dims=(8, 8), fanouts=(4, 4), gather_impl="take",
+        matmul_precision="highest",
+    )
+    if mode == "concat_self":
+        kw["concat_self"] = True
+    elif mode == "self_loop":
+        kw["self_loop"] = True
+    elif mode == "maxpool":
+        kw.update(aggregator="maxpool", pool_dim=8, concat_self=True)
+    model = GraphSAGE(**kw)
+    cfg = TrainConfig(
+        batch_size=32, num_steps=4, learning_rate=0.5,
+        test_size=40, val_size=40, log_every=0,
+    )
+    single = Trainer(model, graph, cfg)
+    mesh = make_mesh({"data": 8})
+    sharded = ShardedFeatureTrainer(model, graph, cfg, mesh)
+
+    s1, s2 = single.init_state(), sharded.init_state()
+    it1, it2 = single.batches(), sharded.batches()
+    for _ in range(cfg.num_steps):
+        s1, l1 = single.step(s1, next(it1))
+        s2, l2 = sharded.step(s2, next(it2))
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5, atol=1e-6)
+    # Params stay in lockstep too (gradients flowed through the exchange).
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        ),
+        s1.params, s2.params,
+    )
+
+
+def test_memory_stats(graph):
+    fs = shard_features(graph.features, 8)
+    stats = fs.memory_stats()
+    assert stats["feature_bytes_per_chip"] * 8 < 1.5 * stats["feature_bytes_replicated"]
+    assert stats["memory_reduction"] > 6  # ~8x minus padding
+    assert stats["rows_per_shard"] % 8 == 0
+
+
+def test_run_end_to_end_with_block_dispatch(graph):
+    model = GraphSAGE(
+        in_dim=graph.num_features, num_classes=graph.num_classes,
+        hidden_dims=(8, 8), fanouts=(4, 4),
+    )
+    cfg = TrainConfig(
+        batch_size=32, num_steps=8, steps_per_dispatch=4,
+        test_size=40, val_size=40, log_every=0,
+    )
+    mesh = make_mesh({"data": 8})
+    tr = ShardedFeatureTrainer(model, graph, cfg, mesh)
+    res = tr.run(log=None)
+    assert np.isfinite(res["losses"]).all()
+    assert len(res["losses"]) == 8
+    assert 0.0 <= res["val_micro_f1"] <= 1.0
