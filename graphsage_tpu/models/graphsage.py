@@ -45,6 +45,7 @@ from graphsage_tpu.data.graph import Graph
 from graphsage_tpu.models.layers import (
     SAGELayerParams,
     apply_full_graph_mean_layer,
+    apply_full_graph_maxpool_layer,
     apply_sage_layer,
     init_sage_layer,
     split_mean_weight,
@@ -340,6 +341,7 @@ class GraphSAGE:
         graph: Graph,
         return_embeddings: bool = False,
         spmm_override=None,  # callable x -> (neigh_mean, valid_count); mean only
+        segmax_override=None,  # callable pooled -> (neigh_max, valid); maxpool only
     ) -> jax.Array:
         """Deterministic logits for every node, using complete neighborhoods.
 
@@ -362,6 +364,17 @@ class GraphSAGE:
             )
             return mean, graph.degrees
 
+        def segmax(pooled):
+            # per-node MLP already applied; per-edge gather + guarded
+            # segment max over the COO edge list.
+            if segmax_override is not None:
+                return segmax_override(pooled)
+            per_edge = jnp.take(pooled, graph.edge_dst, axis=0)
+            agg = segment_max_csr(
+                per_edge, graph.edge_src, graph.edge_mask, graph.num_nodes
+            )
+            return agg, None
+
         for l in range(self.num_layers):
             p = params.layers[l]
             d_in = h.shape[-1]
@@ -374,33 +387,12 @@ class GraphSAGE:
                     precision=self.matmul_precision,
                 )
                 continue
-            # maxpool: per-node MLP once, per-edge gather, segment max
-            pooled = jax.nn.relu(
-                jnp.einsum(
-                    "ni,io->no", h, p.pool_weight.astype(h.dtype),
-                    preferred_element_type=jnp.float32,
-                    precision=self.matmul_precision,
-                )
-                + p.pool_bias.astype(h.dtype)
-            ).astype(h.dtype)
-            per_edge = jnp.take(pooled, graph.edge_dst, axis=0)
-            agg = segment_max_csr(
-                per_edge, graph.edge_src, graph.edge_mask, graph.num_nodes
+            h = apply_full_graph_maxpool_layer(
+                p, h, segmax,
+                concat_self=self.concat_self,
+                self_loop=self.self_loop,
+                precision=self.matmul_precision,
             )
-            if self.self_loop:
-                # pooled >= 0 (ReLU) and empty rows aggregate to 0, so a
-                # plain elementwise max adds the self loop exactly.
-                agg = jnp.maximum(agg, pooled.astype(agg.dtype))
-            w = p.weight.astype(h.dtype)
-            combined = (
-                jnp.concatenate([h, agg], axis=-1) if self.concat_self else agg
-            )
-            h = jax.nn.relu(
-                jnp.einsum(
-                    "ni,io->no", combined, w,
-                    preferred_element_type=jnp.float32, precision=self.matmul_precision,
-                )
-            ).astype(h.dtype)
         if return_embeddings:
             return h.astype(jnp.float32)
         logits = jnp.einsum(

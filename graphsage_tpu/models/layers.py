@@ -133,6 +133,43 @@ def apply_full_graph_mean_layer(
     ).astype(h.dtype)
 
 
+def apply_full_graph_maxpool_layer(
+    p: SAGELayerParams,
+    h: jax.Array,  # [..., N_local, d_in]
+    segmax,  # Callable[[pooled], (agg [..., N_local, pd], valid [..., N_local] | None)]
+    *,
+    concat_self: bool,
+    self_loop: bool,
+    precision=None,
+) -> jax.Array:
+    """One full-graph max-pooling layer, shared by the single-device, the
+    edge-partitioned, and the halo-exchange paths (they differ only in the
+    ``segmax`` closure — the same single-definition guarantee as
+    :func:`apply_full_graph_mean_layer`). ``segmax`` receives the pooled
+    per-node values and must return the guarded per-destination max (0 on
+    empty rows, quirk Q4) plus an optional valid count."""
+    pooled = jax.nn.relu(
+        jnp.einsum(
+            "...ni,io->...no", h, p.pool_weight.astype(h.dtype),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        + p.pool_bias.astype(h.dtype)
+    ).astype(h.dtype)
+    agg, _ = segmax(pooled)
+    agg = agg.astype(h.dtype)
+    if self_loop:
+        # pooled >= 0 (ReLU) and empty rows aggregate to 0, so a plain
+        # elementwise max adds the self loop exactly.
+        agg = jnp.maximum(agg, pooled)
+    combined = jnp.concatenate([h, agg], axis=-1) if concat_self else agg
+    return jax.nn.relu(
+        jnp.einsum(
+            "...ni,io->...no", combined, p.weight.astype(h.dtype),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+    ).astype(h.dtype)
+
+
 def apply_sage_layer(
     params: SAGELayerParams,
     self_feats: jax.Array | None,  # [..., in_dim] or None when concat_self=False

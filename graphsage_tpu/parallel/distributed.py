@@ -72,6 +72,44 @@ def sharded_spmm_mean(
     )(features, part.edge_src, part.edge_dst, part.edge_mask)
 
 
+def sharded_segment_max(
+    mesh: Mesh,
+    axis: str,
+    pooled: jax.Array,  # [N, pd] replicated (post pooling-MLP values)
+    part: EdgePartition,
+    num_nodes: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Edge-partitioned guarded segment max (the maxpool analog of
+    :func:`sharded_spmm_mean`): per-shard masked segment-max partials with a
+    ``pmax`` cross-shard combine (identity ``-inf``), plus a psum'd valid
+    count that restores the guarded empty-row zeros (quirk Q4).
+    Differentiable — segment_max/pmax carry subgradients to the argmax."""
+
+    def local(vals, src, dst, mask):
+        src, dst, mask = src[0], dst[0], mask[0]
+        neg = jnp.finfo(vals.dtype).min
+        per_edge = jnp.where(
+            mask[:, None], jnp.take(vals, dst, axis=0), neg
+        )
+        maxed = jax.ops.segment_max(per_edge, src, num_segments=num_nodes)
+        maxed = jax.lax.pmax(maxed, axis)
+        valid = jax.lax.psum(
+            jax.ops.segment_sum(
+                mask.astype(jnp.int32), src, num_segments=num_nodes
+            ),
+            axis,
+        )
+        out = jnp.where((valid > 0)[:, None], maxed, jnp.zeros_like(maxed))
+        return out, valid
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+    )(pooled, part.edge_src, part.edge_dst, part.edge_mask)
+
+
 def distributed_full_graph_logits(
     model: GraphSAGE,
     params: SAGEParams,
@@ -81,27 +119,40 @@ def distributed_full_graph_logits(
     part: EdgePartition | None = None,
 ) -> jax.Array:
     """Full-graph forward with every aggregation edge-partitioned over
-    ``axis``. Matches :meth:`GraphSAGE.forward_full_graph` allclose."""
-    if model.aggregator != "mean":
-        raise NotImplementedError("edge-partitioned path supports the mean aggregator")
+    ``axis``. Matches :meth:`GraphSAGE.forward_full_graph` allclose
+    (both aggregators — BASELINE config #3's maxpool included)."""
     if part is None:
         part = partition_edges(graph, mesh.shape[axis])
     h = graph.features
     if model.compute_dtype is not None:
         h = h.astype(model.compute_dtype)
-    from graphsage_tpu.models.layers import apply_full_graph_mean_layer
+    from graphsage_tpu.models.layers import (
+        apply_full_graph_maxpool_layer,
+        apply_full_graph_mean_layer,
+    )
 
     def spmm(x):
         return sharded_spmm_mean(mesh, axis, x, part, graph.num_nodes)
 
+    def segmax(pooled):
+        return sharded_segment_max(mesh, axis, pooled, part, graph.num_nodes)
+
     for l in range(model.num_layers):
-        h = apply_full_graph_mean_layer(
-            params.layers[l], h, spmm,
-            concat_self=model.concat_self,
-            self_loop=model.self_loop,
-            project_first=model.use_project_first(l, h.shape[-1]),
-            precision=model.matmul_precision,
-        )
+        if model.aggregator == "mean":
+            h = apply_full_graph_mean_layer(
+                params.layers[l], h, spmm,
+                concat_self=model.concat_self,
+                self_loop=model.self_loop,
+                project_first=model.use_project_first(l, h.shape[-1]),
+                precision=model.matmul_precision,
+            )
+        else:
+            h = apply_full_graph_maxpool_layer(
+                params.layers[l], h, segmax,
+                concat_self=model.concat_self,
+                self_loop=model.self_loop,
+                precision=model.matmul_precision,
+            )
     logits = jnp.einsum(
         "nd,dc->nc", h, params.head.astype(h.dtype),
         preferred_element_type=jnp.float32, precision=model.matmul_precision,

@@ -292,6 +292,53 @@ def halo_spmm_mean(
     return (summed / jnp.maximum(count, 1.0)[:, None])[None], count[None]
 
 
+def halo_segment_max(
+    axis: str,
+    part: NodePartition,
+    h_local: jax.Array,  # [1, Np, pd] — this shard's pooled rows
+    send_plan_local: jax.Array,  # [1, S, M]
+    e_local: tuple,  # (row, slot, mask), each [1, E0]
+    e_halo: tuple,  # (row, slot, mask), each [1, C, Eh]
+) -> tuple[jax.Array, jax.Array]:
+    """Halo-exchanged guarded segment max (the maxpool analog of
+    :func:`halo_spmm_mean`): local edges reduce immediately, each boundary
+    chunk is an independent all_to_all followed by a per-chunk segment-max
+    folded into the running max; a valid count restores guarded zeros.
+    Returns ``(max [1, Np, pd], valid_count [1, Np])``."""
+    np_, f = h_local.shape[1], h_local.shape[2]
+    s_axis = jax.lax.axis_size(axis)
+    h0 = h_local[0]
+    lrow, lslot, lmask = e_local
+    hrow, hslot, hmask = e_halo
+    neg = jnp.finfo(h_local.dtype).min
+
+    def seg(buf, row, slot, mask):
+        vals = jnp.where(mask[:, None], jnp.take(buf, slot, axis=0), neg)
+        return (
+            jax.ops.segment_max(vals, row, num_segments=np_),
+            jax.ops.segment_sum(
+                mask.astype(jnp.int32), row, num_segments=np_
+            ),
+        )
+
+    maxed, count = seg(h0, lrow[0], lslot[0], lmask[0])
+    off = 0
+    for c, mc in enumerate(part.chunk_sizes):
+        sp = send_plan_local[0][:, off : off + mc]
+        off += mc
+        send = jnp.take(h0, sp.reshape(-1), axis=0).reshape(s_axis, mc, f)
+        recv = jax.lax.all_to_all(
+            send, axis, split_axis=0, concat_axis=0, tiled=False
+        )
+        m_c, c_c = seg(
+            recv.reshape(s_axis * mc, f), hrow[0, c], hslot[0, c], hmask[0, c]
+        )
+        maxed = jnp.maximum(maxed, m_c)
+        count = count + c_c
+    out = jnp.where((count > 0)[:, None], maxed, jnp.zeros_like(maxed))
+    return out[None], count[None]
+
+
 def halo_full_graph_logits(
     model: GraphSAGE,
     params: SAGEParams,
@@ -309,10 +356,10 @@ def halo_full_graph_logits(
     HLO constant, and XLA then constant-folds the whole first-layer
     aggregation at compile time (minutes-long compiles at 100K+ nodes).
     """
-    if model.aggregator != "mean":
-        raise NotImplementedError("halo path supports the mean aggregator")
-
-    from graphsage_tpu.models.layers import apply_full_graph_mean_layer
+    from graphsage_tpu.models.layers import (
+        apply_full_graph_maxpool_layer,
+        apply_full_graph_mean_layer,
+    )
 
     def shard_fn(h, send_plan, e_local, e_halo):
         if model.compute_dtype is not None:
@@ -323,14 +370,27 @@ def halo_full_graph_logits(
             # d_out-wide rows instead of d_in-wide.
             return halo_spmm_mean(axis, part, x, send_plan, e_local, e_halo)
 
-        for l in range(model.num_layers):
-            h = apply_full_graph_mean_layer(
-                params.layers[l], h, spmm,
-                concat_self=model.concat_self,
-                self_loop=model.self_loop,
-                project_first=model.use_project_first(l, h.shape[-1]),
-                precision=model.matmul_precision,
+        def segmax(pooled):
+            return halo_segment_max(
+                axis, part, pooled, send_plan, e_local, e_halo
             )
+
+        for l in range(model.num_layers):
+            if model.aggregator == "mean":
+                h = apply_full_graph_mean_layer(
+                    params.layers[l], h, spmm,
+                    concat_self=model.concat_self,
+                    self_loop=model.self_loop,
+                    project_first=model.use_project_first(l, h.shape[-1]),
+                    precision=model.matmul_precision,
+                )
+            else:
+                h = apply_full_graph_maxpool_layer(
+                    params.layers[l], h, segmax,
+                    concat_self=model.concat_self,
+                    self_loop=model.self_loop,
+                    precision=model.matmul_precision,
+                )
         logits = jnp.einsum(
             "snd,dc->snc", h, params.head.astype(h.dtype),
             preferred_element_type=jnp.float32, precision=model.matmul_precision,

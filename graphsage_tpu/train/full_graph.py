@@ -39,10 +39,6 @@ class FullGraphTrainer:
         axis: str = "graph",
         partition=None,  # Optional prebuilt NodePartition (avoids the O(E) host precompute twice)
     ):
-        if mesh is not None and model.aggregator != "mean":
-            raise NotImplementedError(
-                "halo-distributed full-graph training supports the mean aggregator"
-            )
         self.model = model
         self.graph = graph
         self.cfg = config

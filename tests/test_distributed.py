@@ -126,3 +126,19 @@ def test_distributed_self_loop_matches_single(graph):
     want = model.forward_full_graph(params, graph)
     got = distributed_full_graph_logits(model, params, graph, mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_distributed_maxpool_matches_single(graph):
+    """Edge-partitioned maxpool (pmax combine + guarded empty rows) == the
+    single-device forward — BASELINE config #3 under a graph mesh."""
+    from graphsage_tpu.parallel.distributed import distributed_full_graph_logits
+
+    m = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
+                  hidden_dims=(8, 8), fanouts=(None, None),
+                  aggregator="maxpool", pool_dim=8, concat_self=True,
+                  matmul_precision="highest")
+    params = m.init(jax.random.PRNGKey(5))
+    mesh = make_mesh({"graph": 8})
+    got = np.asarray(distributed_full_graph_logits(m, params, graph, mesh))
+    want = np.asarray(m.forward_full_graph(params, graph))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

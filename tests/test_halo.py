@@ -87,15 +87,62 @@ def test_comm_stats_report_reduction(graph):
     assert stats["rows_exchanged_per_shard"] == (8 - 1) * stats["halo_rows_per_pair"]
 
 
-def test_halo_rejects_maxpool(graph):
+@pytest.mark.parametrize("mode", [{}, {"concat_self": True}, {"self_loop": True}])
+def test_halo_maxpool_matches_single_device(graph, mode):
+    """Distributed maxpool (VERDICT round-1 item 3): halo-exchanged
+    segment-max logits == single device in every combine mode."""
     m = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
-                  hidden_dims=(8,), fanouts=(4,), aggregator="maxpool",
-                  concat_self=True)
-    params = m.init(jax.random.PRNGKey(0))
-    part = build_node_partition(graph, 4)
-    mesh = make_mesh({"graph": 4})
-    with pytest.raises(NotImplementedError):
-        halo_full_graph_logits(m, params, part, mesh)
+                  hidden_dims=(8, 8), fanouts=(None, None),
+                  aggregator="maxpool", pool_dim=8,
+                  matmul_precision="highest", **mode)
+    params = m.init(jax.random.PRNGKey(3))
+    part = build_node_partition(graph, 8)
+    mesh = make_mesh({"graph": 8})
+    got = np.asarray(halo_full_graph_logits(m, params, part, mesh))
+    want = np.asarray(m.forward_full_graph(params, graph))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_halo_maxpool_gradients_match_single_device(graph):
+    m = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
+                  hidden_dims=(8, 8), fanouts=(None, None),
+                  aggregator="maxpool", pool_dim=8, concat_self=True,
+                  matmul_precision="highest")
+    params = m.init(jax.random.PRNGKey(4))
+    part = build_node_partition(graph, 8)
+    mesh = make_mesh({"graph": 8})
+    labels = graph.labels
+
+    def loss_halo(p):
+        logits = halo_full_graph_logits(m, p, part, mesh)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+    def loss_single(p):
+        logits = m.forward_full_graph(p, graph)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+    g1 = jax.grad(loss_halo)(params)
+    g2 = jax.grad(loss_single)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_full_graph_trainer_maxpool_on_mesh(graph):
+    """cora_pool-style config trains under a graph mesh (the config BASELINE
+    #3 needs); losses match the single-device full-graph trainer."""
+    from graphsage_tpu.train.config import TrainConfig
+    from graphsage_tpu.train.full_graph import FullGraphTrainer
+
+    m = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
+                  hidden_dims=(8, 8), fanouts=(None, None),
+                  aggregator="maxpool", pool_dim=8, concat_self=True,
+                  matmul_precision="highest")
+    cfg = TrainConfig(num_steps=3, learning_rate=0.1, log_every=0,
+                      test_size=40, val_size=40)
+    want = FullGraphTrainer(m, graph, cfg).run(log=None)
+    mesh = make_mesh({"graph": 8})
+    got = FullGraphTrainer(m, graph, cfg, mesh=mesh).run(log=None)
+    np.testing.assert_allclose(got["losses"], want["losses"], rtol=1e-4, atol=1e-6)
 
 
 def test_halo_self_loop_and_concat_match_single(graph):
