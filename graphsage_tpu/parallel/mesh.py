@@ -77,20 +77,35 @@ def graph_shardings(mesh: Mesh, graph, model_axis: str | None = "model"):
 
 
 def param_shardings(mesh: Mesh, params, in_dim: int, model_axis: str | None = "model"):
-    """NamedShardings for SAGEParams: shard any weight whose input dim equals
-    the (possibly concatenated) feature dim over the model axis; everything
-    else replicates."""
+    """NamedShardings for SAGEParams: tensor parallelism is *explicit
+    per-layer placement* — ONLY layer 0's weights (the ones contracting over
+    the feature dim that ``graph_shardings`` splits) are sharded on the
+    model axis; every deeper layer and the head replicate.
+
+    The previous shape heuristic ("shard any 2-D weight whose shape[0] is
+    in_dim or 2*in_dim") silently sharded *every* layer when
+    ``in_dim == hidden`` (e.g. the powerlaw preset, F=128=hidden) —
+    semantically fine under NamedSharding but different from the documented
+    design with unmeasured collective cost. ``in_dim`` is kept for API
+    compatibility but placement no longer depends on shape matching.
+    """
+    del in_dim  # placement is structural, not shape-matched
     model_axis = model_axis if model_axis in mesh.axis_names else None
     repl = named(mesh)
+    row_sharded = named(mesh, model_axis, None) if model_axis else repl
 
-    def spec_for(leaf):
-        if (
-            model_axis is not None
-            and hasattr(leaf, "ndim")
-            and leaf.ndim == 2
-            and leaf.shape[0] in (in_dim, 2 * in_dim)
-        ):
-            return named(mesh, model_axis, None)
-        return repl
+    def layer_spec(i, lp):
+        if model_axis is None or i != 0:
+            return jax.tree_util.tree_map(lambda _: repl, lp)
+        # Layer 0: weight [F or 2F, d] and pool_weight [F, pd] contract over
+        # the sharded feature dim -> shard dim 0; pool_bias replicates.
+        return type(lp)(
+            weight=row_sharded,
+            pool_weight=None if lp.pool_weight is None else row_sharded,
+            pool_bias=None if lp.pool_bias is None else repl,
+        )
 
-    return jax.tree_util.tree_map(spec_for, params)
+    return type(params)(
+        layers=tuple(layer_spec(i, lp) for i, lp in enumerate(params.layers)),
+        head=repl,
+    )

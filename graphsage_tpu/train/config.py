@@ -94,21 +94,25 @@ PRESETS: dict[str, ExperimentConfig] = {
         name="cora",
         dataset="cora",
         model=ModelConfig(hidden_dims=(128, 128), fanouts=(10, 10)),
-        train=TrainConfig(batch_size=256, num_steps=100),
+        # The reference evaluates WITH sampling (enc.num_sample stays 10 at
+        # eval, SURVEY.md §3.3), so the preset's printed Validation F1 is the
+        # reference's observable; deterministic full-graph eval stays the
+        # framework default (eval_fanouts=None) for non-preset configs.
+        train=TrainConfig(batch_size=256, num_steps=100, eval_fanouts=(10, 10)),
     ),
     # Reference intent (the dead attribute's values): fanouts 5/5.
     "cora_intent": ExperimentConfig(
         name="cora_intent",
         dataset="cora",
         model=ModelConfig(hidden_dims=(128, 128), fanouts=(5, 5)),
-        train=TrainConfig(batch_size=256, num_steps=100),
+        train=TrainConfig(batch_size=256, num_steps=100, eval_fanouts=(5, 5)),
     ),
     # Reference run_pubmed: 200x1024 steps; intended fanouts 10/25.
     "pubmed": ExperimentConfig(
         name="pubmed",
         dataset="pubmed",
         model=ModelConfig(hidden_dims=(128, 128), fanouts=(10, 25)),
-        train=TrainConfig(batch_size=1024, num_steps=200),
+        train=TrainConfig(batch_size=1024, num_steps=200, eval_fanouts=(10, 25)),
     ),
     # BASELINE config #3: pooling aggregator on Cora.
     "cora_pool": ExperimentConfig(

@@ -142,3 +142,39 @@ def test_distributed_maxpool_matches_single(graph):
     got = np.asarray(distributed_full_graph_logits(m, params, graph, mesh))
     want = np.asarray(m.forward_full_graph(params, graph))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_param_shardings_layer0_only_when_dims_collide(graph):
+    """in_dim == hidden must NOT spread TP to every layer (round-1 review:
+    the old shape heuristic sharded all weights when F == hidden)."""
+    from jax.sharding import PartitionSpec as P
+
+    from graphsage_tpu.parallel.mesh import param_shardings
+
+    model = GraphSAGE(in_dim=16, num_classes=4, hidden_dims=(16, 16),
+                      fanouts=(3, 3))
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh({"data": 2, "model": 4})
+    specs = param_shardings(mesh, params, model.in_dim)
+    assert specs.layers[0].weight.spec == P("model", None)
+    assert specs.layers[1].weight.spec == P()
+    assert specs.head.spec == P()
+
+
+def test_sharded_trainer_tp_parity_when_dims_collide(graph):
+    """End-to-end DP+TP with in_dim == hidden still matches single device."""
+    model = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
+                      hidden_dims=(16, 16), fanouts=(4, 4))
+    cfg = TrainConfig(batch_size=32, num_steps=3, learning_rate=0.5,
+                      test_size=40, val_size=40, log_every=0)
+    single = Trainer(model, graph, cfg)
+    s_state = single.init_state()
+    it1 = single.batches()
+    mesh = make_mesh({"data": 2, "model": 4})
+    sharded = ShardedTrainer(model, graph, cfg, mesh)
+    d_state = sharded.init_state()
+    it2 = sharded.batches()
+    for _ in range(cfg.num_steps):
+        s_state, l1 = single.step(s_state, next(it1))
+        d_state, l2 = sharded.step(d_state, next(it2))
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)

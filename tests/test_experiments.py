@@ -87,3 +87,36 @@ def test_cli_eval_only(synth_cora_root, tmp_path, capsys):
           "--eval-only", "--resume", ckpt + ".npz"])
     out = capsys.readouterr().out
     assert "Validation F1:" in out and "Test F1:" in out
+
+
+def test_reference_presets_use_sampled_eval(synth_cora_root):
+    """The cora/pubmed presets must print the reference's OBSERVABLE
+    Validation F1 — the stochastic sampled-eval quantity (SURVEY §3.3) —
+    so eval_fanouts is set and predict() takes the sampled path."""
+    import dataclasses as dc
+
+    import numpy as np
+
+    import graphsage_tpu as gt
+    from graphsage_tpu.train.config import PRESETS
+
+    for name in ("cora", "cora_intent", "pubmed"):
+        assert PRESETS[name].train.eval_fanouts is not None, name
+        assert tuple(PRESETS[name].train.eval_fanouts) == tuple(
+            PRESETS[name].model.fanouts
+        ), name
+
+    preset = PRESETS["cora"]
+    graph = gt.load_cora(synth_cora_root)
+    model = gt.GraphSAGE(
+        in_dim=graph.num_features, num_classes=graph.num_classes,
+        hidden_dims=tuple(preset.model.hidden_dims),
+        fanouts=tuple(preset.model.fanouts),
+    )
+    cfg = dc.replace(preset.train, num_steps=2, test_size=60, val_size=30,
+                     log_every=0)
+    tr = gt.Trainer(model, graph, cfg)
+    state = tr.init_state()
+    preds = tr.predict(state, tr.val_nodes)
+    assert tr._eval_model is not None  # sampled-eval path was taken
+    assert preds.shape == (30,)
