@@ -114,6 +114,29 @@ def main() -> None:
         batch=1024, steps_per_block=200, blocks=2,
     )
 
+    import jax.numpy as jnp
+
+    # BASELINE config #5 shape: Reddit-scale (232K nodes, ~11.6M directed
+    # slots, 602 feats, 41 classes), bf16 table + compute.
+    reddit = _measure(
+        power_law_graph(num_nodes=232_965, num_edges=5_800_000, num_feats=602,
+                        num_classes=41, seed=0, feature_dtype=jnp.bfloat16),
+        GraphSAGE(in_dim=602, num_classes=41, hidden_dims=(128, 128),
+                  fanouts=(10, 25), compute_dtype=jnp.bfloat16),
+        batch=512, steps_per_block=100, blocks=2,
+    )
+
+    # BASELINE config #4 at full scale: 1M nodes / 20M directed slots,
+    # 3-layer mean.
+    powerlaw_1m = _measure(
+        power_law_graph(num_nodes=1_000_000, num_edges=10_000_000,
+                        num_feats=256, num_classes=32, seed=0,
+                        feature_dtype=jnp.bfloat16),
+        GraphSAGE(in_dim=256, num_classes=32, hidden_dims=(256, 256, 256),
+                  fanouts=(5, 10, 15), compute_dtype=jnp.bfloat16),
+        batch=4096, steps_per_block=50, blocks=2,
+    )
+
     edges_per_s = cora["edges_per_s"]
     print(
         json.dumps(
@@ -130,6 +153,12 @@ def main() -> None:
                     # 1M undirected input edges -> ~2M directed slots post-mirroring
                     "powerlaw_100k_nodes_1m_undirected_2m_slots": {
                         k: round(v, 8) for k, v in powerlaw.items()
+                    },
+                    "reddit_232k_nodes_11m_slots_fanout_10_25": {
+                        k: round(v, 8) for k, v in reddit.items()
+                    },
+                    "powerlaw_1m_nodes_20m_slots_3layer": {
+                        k: round(v, 8) for k, v in powerlaw_1m.items()
                     },
                     "device": str(jax.devices()[0]),
                 },

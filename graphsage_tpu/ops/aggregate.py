@@ -189,14 +189,29 @@ def _gather_mean_bwd(impl, bf16, res, g):
     if on_tpu and onehot_sec < scatter_sec:
         from graphsage_tpu.ops.pallas_onehot import _onehot_scatter_mean_grad
 
-        # bf16 measured SLOWER here (4.3 vs 3.7 ms at Pubmed shapes — the
-        # compare/accumulate tile work dominates, not the MXU), so the
-        # scatter always runs f32 regardless of the forward's dtype.
+        # bf16 measured SLOWER for the one-hot (4.3 vs 3.7 ms at Pubmed
+        # shapes — the compare/accumulate tile work dominates, not the MXU),
+        # so the dense path always runs f32 regardless of the forward dtype.
         dfeat = _onehot_scatter_mean_grad(g2, idx2, mask2, n, bf16=False)
+    elif bf16 and on_tpu:
+        # Measured winner when the forward ran bf16 (benchmarks/
+        # scatter_floor.py, Pubmed 256K-row shapes): bf16 per-edge rows
+        # (half the materialize/read traffic) with f32 scatter accumulation
+        # — 2.05 ms vs 2.34 for the f32 k-scatter loop (8.0 ns/row).
+        w = mask2.astype(jnp.bfloat16)
+        cnt = jnp.maximum(w.astype(jnp.float32).sum(axis=1, keepdims=True), 1.0)
+        gs = (g2 / cnt).astype(jnp.bfloat16)
+        per_edge = (
+            jnp.repeat(gs, k, axis=0) * w.reshape(-1)[:, None]
+        ).astype(jnp.float32)
+        dfeat = jax.ops.segment_sum(
+            per_edge, idx2.reshape(-1), num_segments=n
+        )
     else:
         # k separate scatter-adds of [B, F] rows — never materializes the
-        # [B*k, F] per-edge tensor (measured 2.3 ms vs 2.7 ms at Pubmed's
-        # 256K-row backward).
+        # [B*k, F] per-edge tensor (measured 2.34 ms vs 2.69 at Pubmed's
+        # 256K-row backward; sorted-keys segment-sum 2.83 and dense one-hot
+        # 3.62 are measured dead ends — benchmarks/scatter_floor.py).
         w = mask2.astype(g2.dtype)
         cnt = jnp.maximum(w.sum(axis=1, keepdims=True), 1.0)
         gs = g2 / cnt

@@ -1,36 +1,45 @@
-"""Halo-exchange (boundary all-to-all) full-graph aggregation.
+"""Halo-exchange (boundary collective) full-graph aggregation.
 
 The simple edge-partitioned path (`parallel/distributed.sharded_spmm_mean`)
-psums full ``[N, F]`` partial sums per layer — O(N*F) communication per chip
+psums full ``[N, F]`` partial sums per chip — O(N*F) communication per layer
 regardless of partition quality. This module implements the scalable design
 from SURVEY.md §5.7 / BASELINE north star: **node-partitioned** shards that
-exchange only *boundary* rows:
+exchange only *boundary* rows, with three independent levers for the
+exchange volume (all host-precomputed into a static plan):
 
-1. Nodes are split into contiguous ranges balanced by edge count (CSR rows
-   are sorted, so each shard's edges are a contiguous block).
-2. Host-side precompute (:func:`build_node_partition`): for each shard pair
-   (s, t) the set of t-owned rows s's edges reference. These request lists
-   are padded to the max boundary size ``M`` and become a static send plan.
-3. Per layer (:func:`halo_spmm_mean`, inside ``shard_map``): every shard
-   aggregates its *local* edges immediately (they only need resident rows),
-   while the boundary rows move in ``halo_chunks`` independent
-   ``all_to_all`` chunks, each followed by a segment-sum over just the
-   edges that reference that chunk. Every all_to_all depends only on the
-   layer input, so XLA's async collective scheduler can keep chunk ``c+1``
-   in flight on the ICI while chunk ``c``'s edges aggregate — the
-   overlapped boundary exchange the north star asks for. ``halo_chunks=1``
-   degenerates to the single-exchange form.
+1. **Node order** (``order=``): shards own contiguous slices of an internal
+   node order balanced by edge count. ``bfs_order`` groups neighborhoods so
+   fewer edges cross shards on graphs with locality; the default input
+   order is the round-1 behavior.
+2. **Hub replication** (``hub_threshold=``): rows referenced by almost
+   every shard (power-law hubs) would otherwise appear in *every* pairwise
+   request list and inflate them all. Instead each shard contributes its
+   owned hubs to one ``all_gather`` per layer — each hub row crosses each
+   ICI link once instead of up to S-1 times.
+3. **Per-offset sizing** (``sizing="per_offset"``): the boundary exchange
+   runs as S-1 ``ppermute`` rounds (receiver ``s`` gets from owner
+   ``(s+o) % S`` in round ``o``), each sized to its own worst pair,
+   instead of ``halo_chunks`` ``all_to_all`` rounds all padded to the
+   single global worst pair. One hub-heavy pair then inflates one round,
+   not all of them. The default ``"global"`` keeps the round-1 chunked
+   all_to_all (whose chunks overlap compute the same way the rounds do).
 
-Communication per shard per layer is ``(S-1) * M * F`` instead of ``N * F``;
-``M`` is the partition's boundary size (reported by
-:func:`NodePartition.comm_stats`). The whole thing is differentiable
-(all_to_all and segment-sum have transpose rules), so the same path serves
-full-graph distributed training.
+Every round (hub all_gather, all_to_all chunk, ppermute offset) depends
+only on the layer input, so XLA's async collective scheduler can keep round
+``r+1`` in flight on the ICI while round ``r``'s edges aggregate. The
+whole exchange is differentiable (all_gather/all_to_all/ppermute and
+segment ops have transpose rules), and one generic reduction serves both
+aggregators: ``op="sum"`` (mean) and ``op="max"`` (pooling, guarded
+empty rows — quirk Q4).
+
+``NodePartition.comm_stats`` reports the per-shard exchange volume; the
+quality levers are test-pinned to reduce it on the power-law graph with
+logits unchanged (tests/test_halo.py).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,190 +55,462 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+class OffsetRound(NamedTuple):
+    """One ppermute boundary round (per-offset sizing). Arrays lead with the
+    shard dim; ``size`` is this round's own 8-padded worst pair."""
+
+    offset: int
+    size: int
+    send: jax.Array  # [S, size] local row ids shard t sends to (t-offset)%S
+    edge_row: jax.Array  # [S, E_o] destination rows
+    edge_slot: jax.Array  # [S, E_o] index into this round's [size] recv buffer
+    edge_mask: jax.Array  # [S, E_o]
+
+
 class NodePartition(NamedTuple):
     """Static halo-exchange plan. All arrays are stacked with a leading
     shard dimension and sharded over it; ``send_plan`` is replicated.
 
-    Edges are pre-grouped: the *local* group needs only shard-resident rows
-    and is padded on its own (it usually dominates); boundary edges live in
-    ``halo_chunks`` chunk groups whose slots index their own chunk's receive
-    buffer ``[S * chunk_sizes[c]]``, so each chunk's aggregation can start
-    as soon as its own all_to_all lands. Chunk sizes partition the 8-padded
-    boundary exactly (no per-chunk rounding inflation)."""
+    Edges are pre-grouped: *local* (shard-resident rows), optional *hub*
+    (slots into the all-gathered hub buffer), and *boundary* — either
+    ``halo_chunks`` all_to_all chunk groups (``sizing="global"``) or
+    per-offset ppermute rounds (``rounds``)."""
 
     num_shards: int
     nodes_per_shard: int  # Np (padded)
-    halo_size: int  # M = sum(chunk_sizes) (8-padded max boundary per pair)
-    halo_chunks: int  # C — number of independent exchange chunks
-    chunk_sizes: tuple  # per-chunk boundary rows (each a multiple of 8)
-    offsets: jax.Array  # [S] first global node id of each range
+    halo_size: int  # pairwise rows: global m, or sum of per-offset sizes
+    halo_chunks: int  # C — all_to_all chunks (global sizing)
+    chunk_sizes: tuple  # per-chunk boundary rows (global sizing; 8-padded)
     sizes: jax.Array  # [S] true range sizes
-    h0: jax.Array  # [S, Np, F] features, zero-padded
+    node_order: jax.Array  # [N] global id at each stacked position
+    h0: jax.Array  # [S, Np, F] features in stacked order, zero-padded
     labels: jax.Array  # [S, Np] int32
     node_mask: jax.Array  # [S, Np] bool (True on real nodes)
     edge_local_row: jax.Array  # [S, E0] local destination row (0..Np)
     edge_local_slot: jax.Array  # [S, E0] resident-row index
     edge_local_mask: jax.Array  # [S, E0]
-    edge_halo_row: jax.Array  # [S, C, Eh]
+    edge_halo_row: jax.Array  # [S, C, Eh] (global sizing; empty otherwise)
     edge_halo_slot: jax.Array  # [S, C, Eh] index into chunk c's recv buffer
     edge_halo_mask: jax.Array  # [S, C, Eh]
-    send_plan: jax.Array  # [S_owner, S_dest, M] local row indices to send
-    stacked_index: jax.Array  # [N] position of global node v in the stacked layout
+    send_plan: jax.Array  # [S_owner, S_dest, M] local row ids (global sizing)
+    stacked_index: jax.Array  # [N] position of global node v in stacked layout
+    rounds: Optional[tuple] = None  # tuple[OffsetRound] (per-offset sizing)
+    hub_k: int = 0  # hub rows per shard (8-padded max; 0 = no hub lever)
+    hub_send: Optional[jax.Array] = None  # [S, hub_k] local row ids
+    edge_hub_row: Optional[jax.Array] = None  # [S, Eh2]
+    edge_hub_slot: Optional[jax.Array] = None  # [S, Eh2] into [S*hub_k]
+    edge_hub_mask: Optional[jax.Array] = None  # [S, Eh2]
 
     def comm_stats(self) -> dict:
         """Boundary-exchange volume vs the naive psum design."""
-        s, np_, m = self.num_shards, self.nodes_per_shard, self.halo_size
+        s, np_ = self.num_shards, self.nodes_per_shard
         n = int(self.stacked_index.shape[0])
+        if self.rounds is not None:
+            pairwise = sum(r.size for r in self.rounds)
+        else:
+            pairwise = (s - 1) * self.halo_size
+        hub = (s - 1) * self.hub_k  # all_gather: each hub row crosses once
+        total = pairwise + hub
         return {
             "num_shards": s,
             "nodes_per_shard": np_,
-            "halo_rows_per_pair": m,
-            "rows_exchanged_per_shard": (s - 1) * m,
+            "halo_rows_per_pair": self.halo_size,
+            "hub_rows_per_shard": self.hub_k,
+            "rows_exchanged_per_shard": total,
             "rows_psum_equivalent": n,
-            "comm_reduction_vs_psum": n / max((s - 1) * m, 1),
+            "comm_reduction_vs_psum": n / max(total, 1),
         }
 
 
+def bfs_order(graph: Graph) -> np.ndarray:
+    """Breadth-first node order (per-level vectorized; one numpy pass per
+    BFS level). Contiguous slices of this order keep neighborhoods together,
+    shrinking cross-shard request lists on graphs with locality."""
+    indptr = np.asarray(graph.indptr).astype(np.int64)
+    edge_dst = np.asarray(graph.edge_dst)[: graph.num_edges]
+    n = graph.num_nodes
+    deg = indptr[1:] - indptr[:-1]
+    visited = np.zeros(n, dtype=bool)
+    out = np.empty(n, dtype=np.int64)
+    pos = 0
+    next_seed = 0
+    while pos < n:
+        while next_seed < n and visited[next_seed]:
+            next_seed += 1
+        frontier = np.array([next_seed], dtype=np.int64)
+        visited[next_seed] = True
+        while len(frontier):
+            out[pos : pos + len(frontier)] = frontier
+            pos += len(frontier)
+            counts = deg[frontier]
+            total = int(counts.sum())
+            if not total:
+                break
+            within = np.arange(total) - np.repeat(
+                np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+            )
+            neigh = edge_dst[np.repeat(indptr[frontier], counts) + within]
+            fresh = np.unique(neigh[~visited[neigh]])
+            visited[fresh] = True
+            frontier = fresh
+    return out
+
+
+def lpa_assign(
+    graph: Graph,
+    num_shards: int,
+    iters: int = 10,
+    slack: float = 1.05,
+) -> np.ndarray:
+    """Community-detection label propagation + balanced packing.
+
+    Phase 1 (vectorized numpy, O(E log E)/iter): every node starts as its
+    own community and repeatedly adopts the most frequent community among
+    its neighbors — on graphs with any homophily/locality this converges to
+    the underlying communities in a handful of sweeps. Phase 2: communities
+    are packed largest-first into the least-loaded shard (edge-count
+    balanced, ``slack`` headroom); oversized communities are split by
+    cumulative degree. Cutting between communities instead of through them
+    is what shrinks the pairwise boundary lists — measured 77K -> 33K
+    rows/shard on the homophilous 100K power-law with per-offset sizing
+    (tests/test_halo.py pins the reduction).
+
+    Returns the [N] shard id per node; ``build_node_partition(order="lpa")``
+    uses the groups directly as shards.
+    """
+    indptr = np.asarray(graph.indptr).astype(np.int64)
+    edge_dst = np.asarray(graph.edge_dst)[: graph.num_edges].astype(np.int64)
+    edge_src = np.asarray(graph.edge_src)[: graph.num_edges].astype(np.int64)
+    n = graph.num_nodes
+    degrees = (indptr[1:] - indptr[:-1]).astype(np.int64)
+
+    # Phase 1: plain LPA to find communities (mode of neighbor labels).
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(iters):
+        l = lab[edge_dst]
+        order = np.lexsort((l, edge_src))
+        s_s, l_s = edge_src[order], l[order]
+        new_run = np.empty(len(order), bool)
+        if len(order):
+            new_run[0] = True
+            np.logical_or(
+                s_s[1:] != s_s[:-1], l_s[1:] != l_s[:-1], out=new_run[1:]
+            )
+        run_id = np.cumsum(new_run) - 1
+        run_count = np.bincount(run_id)
+        run_src, run_lab = s_s[new_run], l_s[new_run]
+        ro = np.lexsort((run_count, run_src))
+        rs = run_src[ro]
+        last = np.empty(len(rs), bool)
+        if len(rs):
+            last[-1] = True
+            np.not_equal(rs[1:], rs[:-1], out=last[:-1])
+        new_lab = lab.copy()
+        new_lab[rs[last]] = run_lab[ro][last]
+        changed = int((new_lab != lab).sum())
+        lab = new_lab
+        if changed < max(1, n // 1000):
+            break
+
+    # Phase 2: pack communities into shards, balanced by edge count.
+    _, comm_inv = np.unique(lab, return_inverse=True)
+    comm_edges = np.bincount(comm_inv, weights=degrees)
+    cap = slack * max(graph.num_edges, 1) / num_shards
+    shard_load = np.zeros(num_shards)
+    assign = np.empty(n, np.int64)
+    node_order = np.argsort(comm_inv, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(np.bincount(comm_inv))]).astype(
+        np.int64
+    )
+    for c in np.argsort(-comm_edges):
+        nodes = node_order[starts[c] : starts[c + 1]]
+        w = comm_edges[c]
+        if w <= max(cap - shard_load.min(), cap * 0.5):
+            t = int(np.argmin(shard_load))
+            assign[nodes] = t
+            shard_load[t] += w
+        else:
+            # Split an oversized community by cumulative degree.
+            cw = np.cumsum(degrees[nodes])
+            pos = 0
+            while pos < len(nodes):
+                t = int(np.argmin(shard_load))
+                room = max(cap - shard_load[t], cap * 0.1)
+                prev = cw[pos - 1] if pos else 0
+                end = max(int(np.searchsorted(cw, prev + room)), pos + 1)
+                assign[nodes[pos:end]] = t
+                shard_load[t] += degrees[nodes[pos:end]].sum()
+                pos = end
+    return assign
+
+
 def build_node_partition(
-    graph: Graph, num_shards: int, halo_chunks: int = 4
+    graph: Graph,
+    num_shards: int,
+    halo_chunks: int = 4,
+    sizing: str = "global",
+    hub_threshold: int | None = None,
+    order: np.ndarray | str | None = None,
 ) -> NodePartition:
     """Host-side precompute of the halo-exchange plan (numpy).
 
-    ``halo_chunks`` splits the boundary exchange into independent
-    all_to_all chunks whose aggregations interleave (comm/compute overlap);
-    it is clamped so chunks never degenerate below 8 rows."""
-    indptr = np.asarray(graph.indptr)
+    ``sizing``: ``"global"`` (chunked all_to_all, every pair padded to the
+    global worst) or ``"per_offset"`` (S-1 ppermute rounds, each sized to
+    its own worst pair). ``hub_threshold``: nodes with degree >= threshold
+    move from the pairwise lists to one all_gather per layer. ``order``:
+    ``None``/``"input"`` (node-id order), ``"bfs"``, or an explicit [N]
+    permutation of global ids."""
+    if sizing not in ("global", "per_offset"):
+        raise ValueError(f"unknown sizing {sizing!r}")
+    indptr = np.asarray(graph.indptr).astype(np.int64)
     edge_dst = np.asarray(graph.edge_dst)[: graph.num_edges]
     feats = np.asarray(graph.features)
     labels = np.asarray(graph.labels)
     n = graph.num_nodes
+    degrees = indptr[1:] - indptr[:-1]
 
-    # Contiguous node ranges balanced by edge count.
-    target = graph.num_edges / num_shards
-    bounds = [0]
-    for s in range(1, num_shards):
-        # first row whose cumulative edge count reaches s*target
-        b = int(np.searchsorted(indptr, s * target, side="left"))
-        b = min(max(b, bounds[-1]), n)
-        bounds.append(b)
-    bounds.append(n)
-    offsets = np.array(bounds[:-1], dtype=np.int32)
+    lpa_bounds: list[int] | None = None
+    if order is None or (isinstance(order, str) and order == "input"):
+        order = np.arange(n, dtype=np.int64)
+    elif isinstance(order, str) and order == "bfs":
+        order = bfs_order(graph)
+    elif isinstance(order, str) and order == "lpa":
+        # Shards = the LPA groups themselves (assignment-aligned bounds),
+        # not an edge-balanced re-split that would cut across communities.
+        assign = lpa_assign(graph, num_shards)
+        order = np.argsort(assign, kind="stable")
+        counts = np.bincount(assign, minlength=num_shards)
+        lpa_bounds = [0] + list(np.cumsum(counts).astype(int))
+    else:
+        order = np.asarray(order, dtype=np.int64)
+        if len(order) != n or len(np.unique(order)) != n:
+            raise ValueError("order must be a permutation of all node ids")
+    pos_of = np.empty(n, dtype=np.int64)
+    pos_of[order] = np.arange(n)
+
+    # Contiguous position ranges balanced by edge count (lpa: the group
+    # boundaries themselves).
+    if lpa_bounds is not None:
+        bounds = lpa_bounds
+    else:
+        deg_in_order = degrees[order]
+        cum = np.concatenate([[0], np.cumsum(deg_in_order)])
+        target = graph.num_edges / num_shards
+        bounds = [0]
+        for s in range(1, num_shards):
+            b = int(np.searchsorted(cum, s * target, side="left"))
+            bounds.append(min(max(b, bounds[-1]), n))
+        bounds.append(n)
     sizes = np.diff(bounds).astype(np.int32)
-
     np_pad = _round_up(max(int(sizes.max()), 1), 8)
-    owner_of = np.searchsorted(bounds, np.arange(n), side="right") - 1
+    owner_of_pos = np.searchsorted(bounds, np.arange(n), side="right") - 1
+    owner_of = owner_of_pos[pos_of]  # global id -> shard
+    local_of = (pos_of - np.asarray(bounds)[owner_of_pos][pos_of]).astype(
+        np.int64
+    )  # global id -> local row in its shard
 
-    # Per-shard boundary request sets: need[s][t] = sorted t-owned dsts.
-    need: list[dict[int, np.ndarray]] = []
+    # Hub set: high-degree rows exchanged once via all_gather.
+    hub_k = 0
+    hub_send = None
+    hub_slot_of: np.ndarray | None = None
+    is_hub = np.zeros(n, dtype=bool)
+    if hub_threshold is not None:
+        is_hub = degrees >= int(hub_threshold)
+        if is_hub.any():
+            hub_ids = np.flatnonzero(is_hub)
+            per_shard_hubs = [
+                hub_ids[owner_of[hub_ids] == s] for s in range(num_shards)
+            ]
+            hub_k = _round_up(max(len(h) for h in per_shard_hubs), 8)
+            hub_send = np.zeros((num_shards, hub_k), dtype=np.int32)
+            hub_slot_of = np.zeros(n, dtype=np.int64)
+            for s, ids in enumerate(per_shard_hubs):
+                hub_send[s, : len(ids)] = local_of[ids]
+                hub_slot_of[ids] = s * hub_k + np.arange(len(ids))
+        else:
+            is_hub = np.zeros(n, dtype=bool)
+
+    # Per-shard edge lists (vectorized CSR gather over the shard's rows).
     shard_edges = []
     for s in range(num_shards):
-        lo, hi = bounds[s], bounds[s + 1]
-        e0, e1 = indptr[lo], indptr[hi]
-        dst = edge_dst[e0:e1]
-        row = np.repeat(
-            np.arange(lo, hi), np.diff(indptr[lo : hi + 1])
-        ).astype(np.int64)
-        shard_edges.append((row - lo, dst))
+        rows_g = order[bounds[s] : bounds[s + 1]]
+        counts = degrees[rows_g]
+        total = int(counts.sum())
+        row_local = np.repeat(np.arange(len(rows_g)), counts)
+        within = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        dst = edge_dst[np.repeat(indptr[rows_g], counts) + within]
+        shard_edges.append((row_local, dst))
+
+    # Pairwise boundary request sets (hubs excluded — they ride all_gather).
+    need: list[dict[int, np.ndarray]] = []
+    for s in range(num_shards):
+        _, dst = shard_edges[s]
         owners = owner_of[dst]
         d: dict[int, np.ndarray] = {}
+        boundary = (~is_hub[dst]) & (owners != s)
         for t in range(num_shards):
             if t == s:
                 continue
-            sel = dst[owners == t]
-            d[t] = np.unique(sel)
+            d[t] = np.unique(dst[boundary & (owners == t)])
         need.append(d)
 
-    m = max([1] + [len(v) for d in need for v in d.values()])
-    m = _round_up(m, 8)
-    q = m // 8
-    chunks = max(1, min(int(halo_chunks), q))
-    # Partition the q 8-row blocks exactly across chunks — no per-chunk
-    # rounding inflation (e.g. m=72, C=4 -> sizes (24, 16, 16, 16), sum 72).
-    blocks = [q // chunks + (1 if i < q % chunks else 0) for i in range(chunks)]
-    chunk_sizes = tuple(8 * b for b in blocks)
-    chunk_starts = np.concatenate([[0], np.cumsum(chunk_sizes)]).astype(np.int64)
+    # --- boundary sizing ---------------------------------------------------
+    rounds_meta: list[dict] | None = None
+    if sizing == "global":
+        m = max([1] + [len(v) for d in need for v in d.values()])
+        m = _round_up(m, 8)
+        q = m // 8
+        chunks = max(1, min(int(halo_chunks), q))
+        blocks = [q // chunks + (1 if i < q % chunks else 0) for i in range(chunks)]
+        chunk_sizes = tuple(8 * b for b in blocks)
+        chunk_starts = np.concatenate([[0], np.cumsum(chunk_sizes)]).astype(np.int64)
+        send_plan = np.zeros((num_shards, num_shards, m), dtype=np.int32)
+        for s in range(num_shards):
+            for t, uniq in need[s].items():
+                send_plan[t, s, : len(uniq)] = local_of[uniq]
+    else:
+        chunks = 0
+        chunk_sizes = ()
+        chunk_starts = None
+        m = 0
+        send_plan = np.zeros((num_shards, num_shards, 1), dtype=np.int32)
+        rounds_meta = []
+        for o in range(1, num_shards):
+            m_o = _round_up(
+                max([1] + [len(need[s][(s + o) % num_shards]) for s in range(num_shards)]),
+                8,
+            )
+            send_o = np.zeros((num_shards, m_o), dtype=np.int32)
+            for t in range(num_shards):
+                uniq = need[(t - o) % num_shards][t]
+                send_o[t, : len(uniq)] = local_of[uniq]
+            rounds_meta.append({"offset": o, "size": m_o, "send": send_o})
+            m += m_o
 
-    # send_plan[t, s] = local indices (u - offset_t) of rows t sends to s.
-    send_plan = np.zeros((num_shards, num_shards, m), dtype=np.int32)
-    for s in range(num_shards):
-        for t, uniq in need[s].items():
-            send_plan[t, s, : len(uniq)] = uniq - offsets[t]
-
-    # Group every edge: local edges (slot indexes resident rows) pad on
-    # their own; boundary edges group by exchange chunk, slots indexing the
-    # chunk's receive buffer [S * chunk_sizes[c]]. Vectorized slot
-    # resolution: searchsorted into the (sorted, unique) per-pair request
-    # lists — no per-edge Python.
-    local_lists: list[tuple[np.ndarray, np.ndarray]] = []
+    # --- per-edge grouping -------------------------------------------------
+    local_lists, hub_lists = [], []
     halo_lists: list[list[tuple[np.ndarray, np.ndarray]]] = []
+    round_lists: list[list[tuple[np.ndarray, np.ndarray]]] = (
+        [[] for _ in rounds_meta] if rounds_meta is not None else []
+    )
     for s in range(num_shards):
         rows, dst = shard_edges[s]
         cnt = len(rows)
         owners = owner_of[dst] if cnt else np.zeros(0, dtype=np.int64)
-        slots = np.empty(cnt, dtype=np.int32)
-        group = np.full(cnt, -1, dtype=np.int32)  # -1 = local
-        local_sel = owners == s
-        slots[local_sel] = (dst[local_sel] - offsets[s]).astype(np.int32)
+        slots = np.zeros(cnt, dtype=np.int64)
+        group = np.full(cnt, -1, dtype=np.int64)  # -1 local, -2 hub, else round/chunk
+        hub_sel = is_hub[dst] & (owners != s) if cnt else np.zeros(0, bool)
+        local_sel = (owners == s) & ~hub_sel
+        slots[local_sel] = local_of[dst[local_sel]]
+        group[hub_sel] = -2
+        if hub_slot_of is not None:
+            slots[hub_sel] = hub_slot_of[dst[hub_sel]]
         for t in range(num_shards):
             if t == s:
                 continue
-            sel = owners == t
+            sel = (owners == t) & ~hub_sel & ~local_sel
             if not sel.any():
                 continue
-            pos = np.searchsorted(need[s][t], dst[sel])
-            c = np.searchsorted(chunk_starts, pos, side="right") - 1
-            group[sel] = c
-            slots[sel] = (
-                t * np.asarray(chunk_sizes)[c] + (pos - chunk_starts[c])
-            ).astype(np.int32)
+            p = np.searchsorted(need[s][t], dst[sel])
+            if sizing == "global":
+                c = np.searchsorted(chunk_starts, p, side="right") - 1
+                group[sel] = c
+                slots[sel] = t * np.asarray(chunk_sizes)[c] + (p - chunk_starts[c])
+            else:
+                o = (t - s) % num_shards  # this pair's round
+                group[sel] = o - 1
+                slots[sel] = p  # recv buffer of round o is just [m_o]
         local_lists.append((rows[group == -1], slots[group == -1]))
-        halo_lists.append(
-            [(rows[group == c], slots[group == c]) for c in range(chunks)]
+        hub_lists.append((rows[group == -2], slots[group == -2]))
+        if sizing == "global":
+            halo_lists.append(
+                [(rows[group == c], slots[group == c]) for c in range(chunks)]
+            )
+        else:
+            for i in range(len(rounds_meta)):
+                round_lists[i].append((rows[group == i], slots[group == i]))
+
+    def pack(pairs, pad_to=128):
+        e = _round_up(max(1, max(len(r) for r, _ in pairs)), pad_to)
+        row = np.zeros((num_shards, e), dtype=np.int32)
+        slot = np.zeros((num_shards, e), dtype=np.int32)
+        mask = np.zeros((num_shards, e), dtype=bool)
+        for s, (r, sl) in enumerate(pairs):
+            row[s, : len(r)] = r
+            slot[s, : len(r)] = sl
+            mask[s, : len(r)] = True
+        return row, slot, mask
+
+    edge_local_row, edge_local_slot, edge_local_mask = pack(local_lists)
+
+    if sizing == "global":
+        eh = _round_up(
+            max(1, max(len(r) for per in halo_lists for r, _ in per)), 128
+        )
+        edge_halo_row = np.zeros((num_shards, chunks, eh), dtype=np.int32)
+        edge_halo_slot = np.zeros((num_shards, chunks, eh), dtype=np.int32)
+        edge_halo_mask = np.zeros((num_shards, chunks, eh), dtype=bool)
+        for s in range(num_shards):
+            for c, (r, sl) in enumerate(halo_lists[s]):
+                k = len(r)
+                edge_halo_row[s, c, :k] = r
+                edge_halo_slot[s, c, :k] = sl
+                edge_halo_mask[s, c, :k] = True
+        rounds = None
+    else:
+        edge_halo_row = np.zeros((num_shards, 1, 1), dtype=np.int32)
+        edge_halo_slot = np.zeros((num_shards, 1, 1), dtype=np.int32)
+        edge_halo_mask = np.zeros((num_shards, 1, 1), dtype=bool)
+        rounds = tuple(
+            OffsetRound(
+                offset=meta["offset"],
+                size=meta["size"],
+                send=jnp.asarray(meta["send"]),
+                edge_row=jnp.asarray(rr),
+                edge_slot=jnp.asarray(ss),
+                edge_mask=jnp.asarray(mm),
+            )
+            for meta, (rr, ss, mm) in zip(
+                rounds_meta, (pack(per) for per in round_lists)
+            )
         )
 
-    e0 = _round_up(max(1, max(len(r) for r, _ in local_lists)), 128)
-    eh = _round_up(
-        max(1, max(len(r) for per_shard in halo_lists for r, _ in per_shard)),
-        128,
-    )
-    edge_local_row = np.zeros((num_shards, e0), dtype=np.int32)
-    edge_local_slot = np.zeros((num_shards, e0), dtype=np.int32)
-    edge_local_mask = np.zeros((num_shards, e0), dtype=bool)
-    edge_halo_row = np.zeros((num_shards, chunks, eh), dtype=np.int32)
-    edge_halo_slot = np.zeros((num_shards, chunks, eh), dtype=np.int32)
-    edge_halo_mask = np.zeros((num_shards, chunks, eh), dtype=bool)
-    for s in range(num_shards):
-        rows_l, slots_l = local_lists[s]
-        k = len(rows_l)
-        edge_local_row[s, :k] = rows_l
-        edge_local_slot[s, :k] = slots_l
-        edge_local_mask[s, :k] = True
-        for c, (rows_c, slots_c) in enumerate(halo_lists[s]):
-            k = len(rows_c)
-            edge_halo_row[s, c, :k] = rows_c
-            edge_halo_slot[s, c, :k] = slots_c
-            edge_halo_mask[s, c, :k] = True
-        # padded edges keep row 0 / slot 0 (masked)
+    if hub_send is not None:
+        ehub_row, ehub_slot, ehub_mask = pack(hub_lists)
+        hub_arrays = dict(
+            hub_send=jnp.asarray(hub_send),
+            edge_hub_row=jnp.asarray(ehub_row),
+            edge_hub_slot=jnp.asarray(ehub_slot),
+            edge_hub_mask=jnp.asarray(ehub_mask),
+        )
+    else:
+        hub_arrays = dict(
+            hub_send=None, edge_hub_row=None, edge_hub_slot=None,
+            edge_hub_mask=None,
+        )
 
     h0 = np.zeros((num_shards, np_pad, graph.num_features), feats.dtype)
     lab = np.zeros((num_shards, np_pad), np.int32)
     node_mask = np.zeros((num_shards, np_pad), bool)
-    stacked_index = np.zeros(n, np.int32)
+    stacked_index = np.zeros(n, np.int64)
     for s in range(num_shards):
-        sz = sizes[s]
-        h0[s, :sz] = feats[bounds[s] : bounds[s + 1]]
-        lab[s, :sz] = labels[bounds[s] : bounds[s + 1]]
+        rows_g = order[bounds[s] : bounds[s + 1]]
+        sz = len(rows_g)
+        h0[s, :sz] = feats[rows_g]
+        lab[s, :sz] = labels[rows_g]
         node_mask[s, :sz] = True
-        stacked_index[bounds[s] : bounds[s + 1]] = s * np_pad + np.arange(sz)
+        stacked_index[rows_g] = s * np_pad + np.arange(sz)
 
     return NodePartition(
         num_shards=num_shards,
         nodes_per_shard=np_pad,
         halo_size=m,
-        halo_chunks=chunks,
+        halo_chunks=chunks if sizing == "global" else 0,
         chunk_sizes=chunk_sizes,
-        offsets=jnp.asarray(offsets),
         sizes=jnp.asarray(sizes),
+        node_order=jnp.asarray(order.astype(np.int32)),
         h0=jnp.asarray(h0),
         labels=jnp.asarray(lab),
         node_mask=jnp.asarray(node_mask),
@@ -240,103 +521,137 @@ def build_node_partition(
         edge_halo_slot=jnp.asarray(edge_halo_slot),
         edge_halo_mask=jnp.asarray(edge_halo_mask),
         send_plan=jnp.asarray(send_plan),
-        stacked_index=jnp.asarray(stacked_index),
+        stacked_index=jnp.asarray(stacked_index.astype(np.int32)),
+        rounds=rounds,
+        hub_k=hub_k,
+        **hub_arrays,
     )
 
 
-def halo_spmm_mean(
+# ---------------------------------------------------------------------------
+# Exchange (runs inside shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _exchange_arrays(part: NodePartition) -> tuple:
+    """Arrays (all leading-dim S) a shard needs — passed through shard_map
+    with a single ``P(axis)`` prefix spec."""
+    return (
+        part.send_plan,
+        (part.edge_local_row, part.edge_local_slot, part.edge_local_mask),
+        (part.edge_halo_row, part.edge_halo_slot, part.edge_halo_mask),
+        tuple(r.send for r in part.rounds or ()),
+        tuple(
+            (r.edge_row, r.edge_slot, r.edge_mask) for r in part.rounds or ()
+        ),
+        (
+            (part.hub_send, part.edge_hub_row, part.edge_hub_slot,
+             part.edge_hub_mask)
+            if part.hub_send is not None
+            else ()
+        ),
+    )
+
+
+def _halo_aggregate(
     axis: str,
     part: NodePartition,
     h_local: jax.Array,  # [1, Np, F] — this shard's rows (inside shard_map)
-    send_plan_local: jax.Array,  # [1, S, M] — this shard's send plan
-    e_local: tuple,  # (row, slot, mask), each [1, E0]
-    e_halo: tuple,  # (row, slot, mask), each [1, C, Eh]
+    ex: tuple,  # _exchange_arrays, shard-local ([1, ...] leaves)
+    op: str,  # "sum" | "max"
 ) -> tuple[jax.Array, jax.Array]:
-    """One halo-exchanged mean aggregation step (call inside shard_map).
-
-    Local edges aggregate immediately from resident rows; each of the C
-    boundary chunks is an independent all_to_all (dependent only on the
-    layer input) followed by a segment-sum over just its edges — XLA's
-    async collective scheduler overlaps chunk c+1's exchange with chunk c's
-    aggregation. Returns ``(mean [1, Np, F], valid_count [1, Np])``."""
+    """One halo-exchanged aggregation (generic sum/max). Local edges reduce
+    immediately; hub rows arrive in one all_gather; boundary rows in
+    all_to_all chunks (global sizing) or ppermute rounds (per-offset) —
+    every collective depends only on the layer input, so they overlap with
+    the interleaved per-round segment reductions. Returns
+    ``([1, Np, F] aggregate, [1, Np] valid count)`` — the mean divide /
+    max guard is applied here for sum/max respectively."""
     np_, f = h_local.shape[1], h_local.shape[2]
     s_axis = jax.lax.axis_size(axis)
     h0 = h_local[0]
-    lrow, lslot, lmask = e_local
-    hrow, hslot, hmask = e_halo
-
-    def seg(buf, row, slot, mask):
-        w = mask.astype(h_local.dtype)
-        per_edge = jnp.take(buf, slot, axis=0) * w[:, None]
-        return (
-            jax.ops.segment_sum(per_edge, row, num_segments=np_),
-            jax.ops.segment_sum(w, row, num_segments=np_),
-        )
-
-    # Local edges — no communication needed.
-    summed, count = seg(h0, lrow[0], lslot[0], lmask[0])
-    off = 0
-    for c, mc in enumerate(part.chunk_sizes):
-        sp = send_plan_local[0][:, off : off + mc]  # [S, mc]
-        off += mc
-        send = jnp.take(h0, sp.reshape(-1), axis=0).reshape(s_axis, mc, f)
-        recv = jax.lax.all_to_all(
-            send, axis, split_axis=0, concat_axis=0, tiled=False
-        )
-        # recv[t] = chunk-c rows this shard requested from shard t.
-        s_c, c_c = seg(
-            recv.reshape(s_axis * mc, f), hrow[0, c], hslot[0, c], hmask[0, c]
-        )
-        summed = summed + s_c
-        count = count + c_c
-    return (summed / jnp.maximum(count, 1.0)[:, None])[None], count[None]
-
-
-def halo_segment_max(
-    axis: str,
-    part: NodePartition,
-    h_local: jax.Array,  # [1, Np, pd] — this shard's pooled rows
-    send_plan_local: jax.Array,  # [1, S, M]
-    e_local: tuple,  # (row, slot, mask), each [1, E0]
-    e_halo: tuple,  # (row, slot, mask), each [1, C, Eh]
-) -> tuple[jax.Array, jax.Array]:
-    """Halo-exchanged guarded segment max (the maxpool analog of
-    :func:`halo_spmm_mean`): local edges reduce immediately, each boundary
-    chunk is an independent all_to_all followed by a per-chunk segment-max
-    folded into the running max; a valid count restores guarded zeros.
-    Returns ``(max [1, Np, pd], valid_count [1, Np])``."""
-    np_, f = h_local.shape[1], h_local.shape[2]
-    s_axis = jax.lax.axis_size(axis)
-    h0 = h_local[0]
-    lrow, lslot, lmask = e_local
-    hrow, hslot, hmask = e_halo
+    send_plan, e_local, e_halo, round_sends, round_edges, hub = ex
     neg = jnp.finfo(h_local.dtype).min
 
     def seg(buf, row, slot, mask):
-        vals = jnp.where(mask[:, None], jnp.take(buf, slot, axis=0), neg)
-        return (
-            jax.ops.segment_max(vals, row, num_segments=np_),
-            jax.ops.segment_sum(
-                mask.astype(jnp.int32), row, num_segments=np_
-            ),
+        if op == "sum":
+            w = mask.astype(h_local.dtype)
+            vals = jnp.take(buf, slot, axis=0) * w[:, None]
+            red = jax.ops.segment_sum(vals, row, num_segments=np_)
+        else:
+            vals = jnp.where(mask[:, None], jnp.take(buf, slot, axis=0), neg)
+            red = jax.ops.segment_max(vals, row, num_segments=np_)
+        cnt = jax.ops.segment_sum(
+            mask.astype(h_local.dtype), row, num_segments=np_
         )
+        return red, cnt
 
-    maxed, count = seg(h0, lrow[0], lslot[0], lmask[0])
-    off = 0
-    for c, mc in enumerate(part.chunk_sizes):
-        sp = send_plan_local[0][:, off : off + mc]
-        off += mc
-        send = jnp.take(h0, sp.reshape(-1), axis=0).reshape(s_axis, mc, f)
-        recv = jax.lax.all_to_all(
-            send, axis, split_axis=0, concat_axis=0, tiled=False
+    combine = (lambda a, b: a + b) if op == "sum" else jnp.maximum
+    empty = (
+        jnp.zeros((np_, f), h_local.dtype)
+        if op == "sum"
+        else jnp.full((np_, f), neg, h_local.dtype)
+    )
+
+    lrow, lslot, lmask = e_local
+    acc, count = seg(h0, lrow[0], lslot[0], lmask[0])
+    acc = combine(empty, acc)
+
+    if hub:
+        hub_send, hrow2, hslot2, hmask2 = hub
+        mine = jnp.take(h0, hub_send[0], axis=0)  # [K, F]
+        gathered = jax.lax.all_gather(mine, axis)  # [S, K, F]
+        a, c = seg(
+            gathered.reshape(s_axis * gathered.shape[1], f),
+            hrow2[0], hslot2[0], hmask2[0],
         )
-        m_c, c_c = seg(
-            recv.reshape(s_axis * mc, f), hrow[0, c], hslot[0, c], hmask[0, c]
-        )
-        maxed = jnp.maximum(maxed, m_c)
-        count = count + c_c
-    out = jnp.where((count > 0)[:, None], maxed, jnp.zeros_like(maxed))
+        acc = combine(acc, a)
+        count = count + c
+
+    if part.rounds is not None:
+        for r, send_ids, (er, es, em) in zip(
+            part.rounds, round_sends, round_edges
+        ):
+            send = jnp.take(h0, send_ids[0], axis=0)  # [m_o, F]
+            recv = jax.lax.ppermute(
+                send, axis,
+                perm=[(t, (t - r.offset) % s_axis) for t in range(s_axis)],
+            )
+            a, c = seg(recv, er[0], es[0], em[0])
+            acc = combine(acc, a)
+            count = count + c
+    else:
+        hrow, hslot, hmask = e_halo
+        off = 0
+        for c_i, mc in enumerate(part.chunk_sizes):
+            sp = send_plan[0][:, off : off + mc]  # [S, mc]
+            off += mc
+            send = jnp.take(h0, sp.reshape(-1), axis=0).reshape(s_axis, mc, f)
+            recv = jax.lax.all_to_all(
+                send, axis, split_axis=0, concat_axis=0, tiled=False
+            )
+            a, c = seg(
+                recv.reshape(s_axis * mc, f), hrow[0, c_i], hslot[0, c_i],
+                hmask[0, c_i],
+            )
+            acc = combine(acc, a)
+            count = count + c
+
+    if op == "sum":
+        out = acc / jnp.maximum(count, 1.0)[:, None]
+    else:
+        out = jnp.where((count > 0)[:, None], acc, jnp.zeros_like(acc))
     return out[None], count[None]
+
+
+def halo_spmm_mean(axis, part, h_local, ex):
+    """Halo-exchanged mean aggregation (call inside shard_map)."""
+    return _halo_aggregate(axis, part, h_local, ex, op="sum")
+
+
+def halo_segment_max(axis, part, h_local, ex):
+    """Halo-exchanged guarded segment max (call inside shard_map)."""
+    return _halo_aggregate(axis, part, h_local, ex, op="max")
 
 
 def halo_full_graph_logits(
@@ -349,7 +664,8 @@ def halo_full_graph_logits(
 ) -> jax.Array:
     """Full-graph logits ``[N, C]`` with halo-exchange aggregation.
 
-    Matches :meth:`GraphSAGE.forward_full_graph` allclose (test-pinned).
+    Matches :meth:`GraphSAGE.forward_full_graph` allclose (test-pinned) for
+    both aggregators and all combine modes.
 
     ``h0`` overrides the partition's stacked feature payload — pass it as a
     jit *argument* from training loops: a closed-over ``part.h0`` becomes an
@@ -361,19 +677,17 @@ def halo_full_graph_logits(
         apply_full_graph_mean_layer,
     )
 
-    def shard_fn(h, send_plan, e_local, e_halo):
+    def shard_fn(h, ex):
         if model.compute_dtype is not None:
             h = h.astype(model.compute_dtype)
 
         def spmm(x):
-            # Project-first upstream means the boundary all_to_all moves
+            # Project-first upstream means the boundary exchanges move
             # d_out-wide rows instead of d_in-wide.
-            return halo_spmm_mean(axis, part, x, send_plan, e_local, e_halo)
+            return halo_spmm_mean(axis, part, x, ex)
 
         def segmax(pooled):
-            return halo_segment_max(
-                axis, part, pooled, send_plan, e_local, e_halo
-            )
+            return halo_segment_max(axis, part, pooled, ex)
 
         for l in range(model.num_layers):
             if model.aggregator == "mean":
@@ -400,14 +714,9 @@ def halo_full_graph_logits(
     stacked = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), (P(axis),) * 3, (P(axis),) * 3),
+        in_specs=(P(axis), P(axis)),
         out_specs=P(axis),
-    )(
-        part.h0 if h0 is None else h0,
-        part.send_plan,
-        (part.edge_local_row, part.edge_local_slot, part.edge_local_mask),
-        (part.edge_halo_row, part.edge_halo_slot, part.edge_halo_mask),
-    )
+    )(part.h0 if h0 is None else h0, _exchange_arrays(part))
 
     flat = stacked.reshape(part.num_shards * part.nodes_per_shard, -1)
     return jnp.take(flat, part.stacked_index, axis=0)

@@ -59,22 +59,29 @@ def partition_edges(graph: Graph, num_shards: int) -> EdgePartition:
 
 
 def partition_stats(graph: Graph, num_shards: int) -> dict:
-    """Host-side partition quality report."""
+    """Host-side partition quality report.
+
+    ``boundary_partials`` counts every extra (row, shard) partial beyond the
+    first: a row whose CSR edge range spans ``k`` blocks contributes ``k-1``
+    (the number of cross-shard partial sums the reduction must merge).
+    Vectorized — the edge blocks are contiguous, so a row's span is fully
+    determined by the block of its first and last edge."""
     part = partition_edges(graph, num_shards)
-    src = np.asarray(part.edge_src)
     mask = np.asarray(part.edge_mask)
-    boundary_rows = 0
-    seen_last: int | None = None
-    for s in range(num_shards):
-        rows = np.unique(src[s][mask[s]])
-        if seen_last is not None and len(rows) and rows[0] == seen_last:
-            boundary_rows += 1
-        if len(rows):
-            seen_last = int(rows[-1])
+    per = part.edge_src.shape[1]
+    indptr = np.asarray(graph.indptr).astype(np.int64)
+    deg = indptr[1:] - indptr[:-1]
+    nz = deg > 0
+    first_block = indptr[:-1][nz] // per
+    last_block = (indptr[1:][nz] - 1) // per
+    spans = last_block - first_block
     edges_per_shard = mask.sum(axis=1)
     return {
         "num_shards": num_shards,
         "edges_per_shard_min": int(edges_per_shard.min()),
         "edges_per_shard_max": int(edges_per_shard.max()),
-        "boundary_rows": boundary_rows,
+        # rows touching >1 block (any straddle, multi-block hubs included)
+        "boundary_rows": int((spans > 0).sum()),
+        # total extra partials the cross-shard reduction merges
+        "boundary_partials": int(spans.sum()),
     }

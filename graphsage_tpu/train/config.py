@@ -135,4 +135,30 @@ PRESETS: dict[str, ExperimentConfig] = {
         train=TrainConfig(batch_size=4096, num_steps=50, learning_rate=0.1,
                           eval_fanouts=(5, 10, 15)),
     ),
+    # BASELINE config #4 at FULL scale: 1M nodes / 20M directed edge slots,
+    # 3-layer mean (the shape round 1 only measured ad hoc in ROOFLINE).
+    "powerlaw_1m": ExperimentConfig(
+        name="powerlaw_1m",
+        dataset="powerlaw_1m",
+        model=ModelConfig(
+            hidden_dims=(256, 256, 256), fanouts=(5, 10, 15),
+            compute_dtype="bfloat16",
+        ),
+        train=TrainConfig(batch_size=4096, num_steps=30, learning_rate=0.1,
+                          log_every=10, eval_fanouts=(5, 10, 15)),
+    ),
+    # BASELINE config #5: Reddit-scale supervised GraphSAGE (232K nodes,
+    # ~11.6M directed slots, 602 feats, 41 classes; GraphSAGE-paper-style
+    # fanouts 25/10 and 512-seed batches). Synthetic stand-in in-sandbox;
+    # multi-host runs shard it with the halo partition / feature store.
+    "reddit": ExperimentConfig(
+        name="reddit",
+        dataset="reddit",
+        model=ModelConfig(
+            hidden_dims=(128, 128), fanouts=(10, 25),
+            compute_dtype="bfloat16",
+        ),
+        train=TrainConfig(batch_size=512, num_steps=100, learning_rate=0.1,
+                          log_every=20, eval_fanouts=(10, 25)),
+    ),
 }

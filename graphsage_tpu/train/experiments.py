@@ -36,6 +36,25 @@ def load_dataset(name: str, data_root: str | None = None) -> Graph:
             num_nodes=100_000, num_edges=2_000_000, num_feats=256,
             num_classes=16, homophily=0.8,
         )
+    if name == "reddit":
+        # BASELINE config #5 shape: 232K nodes / ~11.6M directed edge slots,
+        # 602 features, 41 classes (the real dataset's dims; synthetic
+        # stand-in — no network in-sandbox). bf16 features: the payload is
+        # 232965*602 rows, 270 MB instead of 561.
+        import jax.numpy as _jnp
+
+        return power_law_graph(
+            num_nodes=232_965, num_edges=5_800_000, num_feats=602,
+            num_classes=41, homophily=0.8, feature_dtype=_jnp.bfloat16,
+        )
+    if name == "powerlaw_1m":
+        # BASELINE config #4 shape: 1M nodes / 20M directed edge slots.
+        import jax.numpy as _jnp
+
+        return power_law_graph(
+            num_nodes=1_000_000, num_edges=10_000_000, num_feats=256,
+            num_classes=32, homophily=0.8, feature_dtype=_jnp.bfloat16,
+        )
     raise ValueError(f"unknown dataset {name!r}")
 
 

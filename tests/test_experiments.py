@@ -48,7 +48,7 @@ def test_cli_main(synth_cora_root, tmp_path, capsys):
 
 def test_load_dataset_unknown():
     with pytest.raises(ValueError):
-        load_dataset("reddit")
+        load_dataset("no_such_dataset")
 
 
 def test_cli_full_graph_mode(synth_cora_root, capsys):
