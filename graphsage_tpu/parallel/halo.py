@@ -222,7 +222,7 @@ def lpa_assign(
     starts = np.concatenate([[0], np.cumsum(np.bincount(comm_inv))]).astype(
         np.int64
     )
-    for c in np.argsort(-comm_edges):
+    for c in np.argsort(-comm_edges, kind="stable"):
         nodes = node_order[starts[c] : starts[c + 1]]
         w = comm_edges[c]
         if w <= max(cap - shard_load.min(), cap * 0.5):
@@ -273,11 +273,20 @@ def build_node_partition(
     if order is None or (isinstance(order, str) and order == "input"):
         order = np.arange(n, dtype=np.int64)
     elif isinstance(order, str) and order == "bfs":
-        order = bfs_order(graph)
+        from graphsage_tpu.parallel import native_partition
+
+        nat = native_partition.bfs_order_native(graph)
+        order = nat if nat is not None else bfs_order(graph)
     elif isinstance(order, str) and order == "lpa":
         # Shards = the LPA groups themselves (assignment-aligned bounds),
         # not an edge-balanced re-split that would cut across communities.
-        assign = lpa_assign(graph, num_shards)
+        # Native C++ LPA when available (csrc/partitioner.cpp — identical
+        # semantics, parity-tested); numpy oracle otherwise.
+        from graphsage_tpu.parallel import native_partition
+
+        assign = native_partition.lpa_assign_native(graph, num_shards)
+        if assign is None:
+            assign = lpa_assign(graph, num_shards)
         order = np.argsort(assign, kind="stable")
         counts = np.bincount(assign, minlength=num_shards)
         lpa_bounds = [0] + list(np.cumsum(counts).astype(int))

@@ -54,3 +54,38 @@ def test_loader_engine_param(synth_cora_root):
     )
     with pytest.raises(ValueError):
         load_cora(synth_cora_root, engine="fortran")
+
+
+def test_native_partitioner_parity():
+    """C++ LPA assignment and BFS order == the numpy oracles exactly
+    (csrc/partitioner.cpp vs parallel/halo.py)."""
+    from graphsage_tpu.data.synthetic import power_law_graph
+    from graphsage_tpu.parallel.halo import bfs_order, lpa_assign
+    from graphsage_tpu.parallel.native_partition import (
+        bfs_order_native,
+        lpa_assign_native,
+    )
+
+    g = power_law_graph(num_nodes=3000, num_edges=18000, num_feats=8,
+                        num_classes=6, seed=4, homophily=0.8)
+    nat = lpa_assign_native(g, 8)
+    if nat is None:
+        pytest.skip("native partitioner unavailable")
+    np.testing.assert_array_equal(nat, lpa_assign(g, 8))
+    np.testing.assert_array_equal(bfs_order_native(g), bfs_order(g))
+
+
+def test_native_partitioner_used_by_build(monkeypatch):
+    """build_node_partition(order='lpa') routes through the native library
+    when available and produces a valid plan."""
+    from graphsage_tpu.data.synthetic import power_law_graph
+    from graphsage_tpu.parallel.halo import build_node_partition
+    from graphsage_tpu.parallel import native_partition
+
+    if native_partition.load_library() is None:
+        pytest.skip("native partitioner unavailable")
+    g = power_law_graph(num_nodes=1000, num_edges=6000, num_feats=8,
+                        num_classes=4, seed=2, homophily=0.8)
+    part = build_node_partition(g, 4, order="lpa", sizing="per_offset")
+    assert int(np.asarray(part.sizes).sum()) == g.num_nodes
+    assert len(np.unique(np.asarray(part.stacked_index))) == g.num_nodes
