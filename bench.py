@@ -81,6 +81,40 @@ def _measure(graph, model, batch, steps_per_block, blocks):
     }
 
 
+def _measure_full_batch(graph, model, steps_per_block, blocks):
+    """Full-batch (num_sample=None) training throughput: every step
+    aggregates ALL edges once per layer via the degree-bucketed scatter-free
+    SpMM, so the edge denominator is num_edges * num_layers."""
+    import jax
+    import numpy as np
+
+    from graphsage_tpu.train.config import TrainConfig
+    from graphsage_tpu.train.full_graph import FullGraphTrainer
+
+    trainer = FullGraphTrainer(
+        model, graph, TrainConfig(num_steps=1, log_every=0)
+    )
+    state = trainer.init_state()
+    state, losses = trainer._jit_block(state, steps_per_block, trainer._payload)
+    np.asarray(losses)  # compile barrier
+    times = []
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        state, losses = trainer._jit_block(
+            state, steps_per_block, trainer._payload
+        )
+        np.asarray(losses)
+        times.append(time.perf_counter() - t0)
+    sec_per_step = min(times) / steps_per_block
+    edges_per_step = graph.num_edges * model.num_layers
+    return {
+        "edges_per_step": edges_per_step,
+        "sec_per_step": sec_per_step,
+        "edges_per_s": edges_per_step / sec_per_step,
+        "final_loss": float(np.asarray(losses)[-1]),
+    }
+
+
 def main() -> None:
     import jax
 
@@ -137,6 +171,17 @@ def main() -> None:
         batch=4096, steps_per_block=50, blocks=2,
     )
 
+    # Full-batch training at the 100K power-law shape — the degree-bucketed
+    # scatter-free SpMM path (no reference counterpart: the framework's
+    # num_sample=None training capability at scale).
+    fullbatch = _measure_full_batch(
+        power_law_graph(num_nodes=100_000, num_edges=1_000_000, num_feats=128,
+                        num_classes=16, seed=0),
+        GraphSAGE(in_dim=128, num_classes=16, hidden_dims=(128, 128),
+                  fanouts=(None, None)),
+        steps_per_block=10, blocks=3,
+    )
+
     edges_per_s = cora["edges_per_s"]
     print(
         json.dumps(
@@ -159,6 +204,9 @@ def main() -> None:
                     },
                     "powerlaw_1m_nodes_20m_slots_3layer": {
                         k: round(v, 8) for k, v in powerlaw_1m.items()
+                    },
+                    "fullbatch_powerlaw_100k_2m_slots_2layer": {
+                        k: round(v, 8) for k, v in fullbatch.items()
                     },
                     "device": str(jax.devices()[0]),
                 },
