@@ -19,6 +19,18 @@ from typing import Optional
 import jax
 
 
+def _already_initialized() -> bool:
+    """Whether the distributed runtime is already wired — WITHOUT touching
+    the XLA backend (``jax.process_count()`` would initialize it, defeating
+    a later ``jax.distributed.initialize``)."""
+    try:
+        from jax._src import distributed as _dist
+
+        return _dist.global_state.client is not None
+    except Exception:
+        return False
+
+
 def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -42,7 +54,10 @@ def initialize(
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
     multi = coordinator_address is not None or (num_processes or 0) > 1
-    if multi and jax.process_count() == 1:
+    if multi and not _already_initialized():
+        # NOTE: must run before anything touches the XLA backend —
+        # jax.process_count() itself would initialize it, so idempotence is
+        # checked against the distributed client state instead.
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
