@@ -86,6 +86,7 @@ def run_preset(
     mode: str = "sampled",
     resume_path: str | None = None,
     eval_only: bool = False,
+    checkpoint_every: int = 0,
 ) -> dict[str, Any]:
     """Train one of the BASELINE.json preset configs end to end.
 
@@ -147,7 +148,10 @@ def run_preset(
             "mean_step_time": 0.0,
             "state": initial_state,
         }
-    result = trainer.run(log=log, initial_state=initial_state)
+    result = trainer.run(
+        log=log, initial_state=initial_state,
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+    )
     if checkpoint_path:
         from graphsage_tpu.utils.checkpoint import save_checkpoint
 
@@ -188,6 +192,9 @@ def main(argv: Optional[list[str]] = None) -> None:
     parser.add_argument("--test-size", type=int, default=None)
     parser.add_argument("--val-size", type=int, default=None)
     parser.add_argument("--checkpoint", default=None, help="write final state here")
+    parser.add_argument("--checkpoint-every", type=int, default=0,
+                        help="also snapshot --checkpoint every N steps "
+                             "(checkpoint-restart failure tolerance)")
     parser.add_argument("--resume", default=None,
                         help="restore this checkpoint and continue training")
     parser.add_argument("--eval-only", action="store_true",
@@ -233,6 +240,7 @@ def main(argv: Optional[list[str]] = None) -> None:
         mode=args.mode,
         resume_path=args.resume,
         eval_only=args.eval_only,
+        checkpoint_every=args.checkpoint_every,
     )
     if args.log_jsonl:
         from graphsage_tpu.utils.logging import MetricsLogger

@@ -166,6 +166,8 @@ class FullGraphTrainer:
         self,
         log: Callable[[str], None] | None = print,
         initial_state: Optional[TrainState] = None,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 0,
     ) -> dict[str, Any]:
         state = initial_state if initial_state is not None else self.init_state()
         losses, times = [], []
@@ -190,7 +192,15 @@ class FullGraphTrainer:
                 losses.append(float(loss))
                 if log and self.cfg.log_every and (done + j) % self.cfg.log_every == 0:
                     log(f"{done + j} {float(loss)}")
-            done += n
+            prev_done, done = done, done + n
+            if (
+                checkpoint_path
+                and checkpoint_every > 0
+                and prev_done // checkpoint_every != done // checkpoint_every
+            ):
+                from graphsage_tpu.utils.checkpoint import save_checkpoint
+
+                save_checkpoint(checkpoint_path, state)
         val = self.evaluate(state, self.val_nodes)
         steady = times[1:] if len(times) > 1 else times
         result = {

@@ -221,8 +221,16 @@ class Trainer:
         self,
         log: Callable[[str], None] | None = print,
         initial_state: TrainState | None = None,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 0,
     ) -> dict[str, Any]:
         """Train for ``num_steps`` batches; return losses, timings and val F1.
+
+        ``checkpoint_every`` > 0 writes an atomic snapshot to
+        ``checkpoint_path`` whenever that many steps complete — the
+        checkpoint-restart half of failure tolerance (SURVEY.md §5.3): a
+        killed run resumes from the last periodic snapshot via ``--resume``
+        instead of restarting.
 
         Mirrors the reference driver's observable behavior: per-step loss
         lines, then validation micro-F1 and mean step time
@@ -267,7 +275,15 @@ class Trainer:
                 losses.append(l)
                 if log and cfg.log_every and (done + j) % cfg.log_every == 0:
                     log(f"{done + j} {l}")
-            done += n
+            prev_done, done = done, done + n
+            if (
+                checkpoint_path
+                and checkpoint_every > 0
+                and prev_done // checkpoint_every != done // checkpoint_every
+            ):
+                from graphsage_tpu.utils.checkpoint import save_checkpoint
+
+                save_checkpoint(checkpoint_path, state)
 
         val = self.evaluate(state, self.val_nodes)
         # Skip the compile block when reporting mean time.

@@ -139,3 +139,43 @@ def test_resume_continues_batch_stream(synth_cora_root):
         np.asarray(first["losses"] + resumed["losses"]),
         rtol=1e-5,
     )
+
+
+def test_periodic_checkpoint_and_restart(tmp_path):
+    """Failure tolerance (SURVEY §5.3): a run snapshotting every N steps can
+    be killed and resumed from the last snapshot, and the resumed run ends
+    in the same state as an uninterrupted one."""
+    from graphsage_tpu.data.synthetic import power_law_graph
+    from graphsage_tpu.models.graphsage import GraphSAGE
+    from graphsage_tpu.train.config import TrainConfig
+    from graphsage_tpu.train.trainer import Trainer
+    from graphsage_tpu.utils.checkpoint import restore_checkpoint
+
+    g = power_law_graph(num_nodes=120, num_edges=500, num_feats=12,
+                        num_classes=4, seed=6)
+    model = GraphSAGE(in_dim=12, num_classes=4, hidden_dims=(8,), fanouts=(3,))
+    path = str(tmp_path / "snap.npz")
+
+    def mk(steps):
+        cfg = TrainConfig(batch_size=16, num_steps=steps, learning_rate=0.5,
+                          test_size=20, val_size=20, log_every=0,
+                          steps_per_dispatch=2)
+        return Trainer(model, g, cfg)
+
+    # Uninterrupted 8-step run.
+    full = mk(8).run(log=None)
+
+    # "Crashing" run: snapshot every 2 steps, pretend it died after step 4
+    # by restoring the mid-run snapshot (num_steps=4 => last snapshot at 4).
+    mk(4).run(log=None, checkpoint_path=path, checkpoint_every=2)
+    t2 = mk(4)  # 4 MORE steps after resume
+    resumed_state = restore_checkpoint(path, t2.init_state())
+    assert int(resumed_state.step) == 4
+    resumed = t2.run(log=None, initial_state=resumed_state)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        full["state"].params, resumed["state"].params,
+    )
