@@ -197,7 +197,9 @@ class GraphSAGE:
         """Logits ``[B, num_classes]`` for the frontier's seed batch
         (or the pre-head representations with ``return_embeddings``).
 
-        ``gather_fn(table, ids)`` / ``gather_mean_fn(table, ids, mask)``
+        ``gather_fn(table, ids, mask)`` / ``gather_mean_fn(table, ids, mask)``
+        (``mask`` marks padded frontier slots whose rows are
+        garbage-tolerated downstream)
         override the feature-table lookup primitives — the injection point
         for the node-sharded feature store (parallel/feature_store.py),
         whose versions exchange requested rows across shards while
@@ -206,7 +208,7 @@ class GraphSAGE:
         role, model.py:70-71).
         """
         if gather_fn is None:
-            gather_fn = gather
+            gather_fn = lambda table, ids, mask=None: gather(table, ids)
         if gather_mean_fn is None:
             gather_mean_fn = functools.partial(
                 gather_mean,
@@ -249,7 +251,9 @@ class GraphSAGE:
                         preferred_element_type=jnp.float32,
                         precision=self.matmul_precision,
                     ).astype(jnp.float32)
-                    pre = pre + gather_fn(table_self, frontier.ids[L - 1])
+                    pre = pre + gather_fn(
+                        table_self, frontier.ids[L - 1], frontier.masks[L - 1]
+                    )
                 # Keep activations in compute_dtype when set (mirrors
                 # apply_full_graph_mean_layer's .astype(h.dtype)) so bf16
                 # carries through the remaining layers.
@@ -260,7 +264,9 @@ class GraphSAGE:
                 )
             else:
                 if self.concat_self:
-                    self_h = gather_fn(features, frontier.ids[L - 1])
+                    self_h = gather_fn(
+                        features, frontier.ids[L - 1], frontier.masks[L - 1]
+                    )
                     if self.compute_dtype is not None:
                         self_h = self_h.astype(self.compute_dtype)
                 else:
@@ -279,7 +285,7 @@ class GraphSAGE:
                 )
             start_l = 1
         else:
-            h = gather_fn(features, frontier.ids[L])
+            h = gather_fn(features, frontier.ids[L], frontier.masks[L])
             if self.compute_dtype is not None:
                 h = h.astype(self.compute_dtype)
         for l in range(start_l, L):

@@ -134,16 +134,106 @@ def sharded_row_gather(
     return mine.reshape(*ids_local.shape, f)
 
 
-def make_sharded_gather_fns(axis: str):
+def sharded_row_gather_compact(
+    axis: str,
+    table_local: jax.Array,  # [Np, F] — this chip's node range
+    ids_local: jax.Array,  # [...] global node ids requested by this chip
+    capacity: int,
+    valid_mask: jax.Array | None = None,
+) -> jax.Array:
+    """Compact request-routing cross-shard gather (SURVEY §2.3 row 3's
+    literal "all-to-all of requested rows").
+
+    Requests sort by owner into per-pair buckets of static ``capacity``;
+    one all_to_all ships the ids, owners gather their rows locally, a
+    second all_to_all ships the rows back, and the inverse sort restores
+    request order. Communication per chip is ``~(S-1)/S * capacity * S * F``
+    — about ``S/slack`` times less than the dense psum_scatter form, which
+    ships zero rows for everything a chip does not own.
+
+    ``capacity`` must cover the worst per-pair request count; masked/padded
+    ids (``valid_mask=False``) are rewritten to spread round-robin across
+    owners so they cannot pile onto shard 0. Exactness is guarded by the
+    caller (ShardedFeatureTrainer checks the true per-pair max each step
+    and aborts loudly on overflow rather than training on clipped rows).
+    """
+    np_, f = table_local.shape
+    shape = ids_local.shape
+    flat = ids_local.reshape(-1).astype(jnp.int32)
+    q = flat.shape[0]
+    s = jax.lax.axis_size(axis)
+    my_first = jax.lax.axis_index(axis) * np_
+    if valid_mask is not None:
+        # Spread padded requests evenly so they never overflow one owner.
+        spread = (jnp.arange(q, dtype=jnp.int32) % s) * np_
+        flat = jnp.where(valid_mask.reshape(-1), flat, spread)
+    owner = flat // np_
+    order = jnp.argsort(owner, stable=True)
+    sorted_owner = owner[order]
+    starts = jnp.searchsorted(sorted_owner, jnp.arange(s, dtype=owner.dtype))
+    rank = jnp.arange(q) - starts[sorted_owner]
+    slot = jnp.clip(rank, 0, capacity - 1)
+    req = jnp.zeros((s, capacity), jnp.int32).at[sorted_owner, slot].set(
+        flat[order], mode="drop"
+    )
+    # Ship requests to their owners; answer; ship rows back.
+    recv_req = jax.lax.all_to_all(
+        req[:, :, None], axis, split_axis=0, concat_axis=0, tiled=False
+    )[..., 0]
+    loc = jnp.clip(recv_req.reshape(-1) - my_first, 0, np_ - 1)
+    answers = jnp.take(table_local, loc, axis=0).reshape(s, capacity, f)
+    got = jax.lax.all_to_all(
+        answers, axis, split_axis=0, concat_axis=0, tiled=False
+    )
+    rows_sorted = got[sorted_owner, slot]  # [q, F]
+    inv = jnp.argsort(order)
+    return rows_sorted[inv].reshape(*shape, f)
+
+
+def request_capacity(q_local: int, num_shards: int, slack: float = 1.5) -> int:
+    """Static per-pair request capacity for the compact exchange."""
+    base = -(-q_local // num_shards)
+    return _round_up(max(int(base * slack), 8), 8)
+
+
+def make_sharded_gather_fns(
+    axis: str,
+    mode: str = "dense",
+    num_shards: int | None = None,
+    slack: float = 1.5,
+):
     """(gather_fn, gather_mean_fn) closures for GraphSAGE.forward where the
-    feature/projection table argument is the chip's LOCAL node-range shard."""
+    feature/projection table argument is the chip's LOCAL node-range shard.
 
-    def gather_fn(table_local, ids):
-        return sharded_row_gather(axis, table_local, ids)
+    ``mode="dense"`` — exact for any id distribution (psum_scatter).
+    ``mode="compact"`` — request-routing all_to_all; each call site's
+    per-pair capacity derives from its static request count
+    (:func:`request_capacity` with ``slack``)."""
+    if mode == "dense":
+        def gather_fn(table_local, ids, mask=None):
+            return sharded_row_gather(axis, table_local, ids)
 
-    def gather_mean_fn(table_local, ids, mask):
-        rows = sharded_row_gather(axis, table_local, ids)
-        return masked_mean(rows, mask)
+        def gather_mean_fn(table_local, ids, mask):
+            rows = sharded_row_gather(axis, table_local, ids)
+            return masked_mean(rows, mask)
+    elif mode == "compact":
+        if num_shards is None:
+            raise ValueError("compact mode requires num_shards")
+
+        def gather_fn(table_local, ids, mask=None):
+            cap = request_capacity(int(np.prod(ids.shape)), num_shards, slack)
+            return sharded_row_gather_compact(
+                axis, table_local, ids, cap, valid_mask=mask
+            )
+
+        def gather_mean_fn(table_local, ids, mask):
+            cap = request_capacity(int(np.prod(ids.shape)), num_shards, slack)
+            rows = sharded_row_gather_compact(
+                axis, table_local, ids, cap, valid_mask=mask
+            )
+            return masked_mean(rows, mask)
+    else:
+        raise ValueError(f"unknown sharded gather mode {mode!r}")
 
     return gather_fn, gather_mean_fn
 
@@ -170,9 +260,15 @@ class ShardedFeatureTrainer(Trainer):
         config,
         mesh: Mesh,
         axis: str = "data",
+        gather_mode: str = "dense",
+        capacity_slack: float = 1.5,
     ):
+        if gather_mode not in ("dense", "compact"):
+            raise ValueError(f"unknown gather_mode {gather_mode!r}")
         self.mesh = mesh
         self.axis = axis
+        self.gather_mode = gather_mode
+        self.capacity_slack = capacity_slack
         s = mesh.shape[axis]
         if config.batch_size % s:
             raise ValueError(
@@ -193,6 +289,46 @@ class ShardedFeatureTrainer(Trainer):
         )
         self._jit_step = jax.jit(self._sharded_step, donate_argnums=(0,))
 
+    # --------------------------------------------------------------- compact
+    def _compact_sites(self, frontier):
+        """(ids, mask) per table-lookup call site of the forward — mirrors
+        GraphSAGE.forward's branches so the capacity check sees exactly the
+        requests the compact exchange will route."""
+        model = self.model
+        L = model.num_layers
+        sites = []
+        if model.aggregator == "mean":
+            n_out = frontier.ids[L - 1].shape[0]
+            k_cols = frontier.ids[L].shape[0] // n_out
+            ids2 = frontier.ids[L].reshape(n_out, k_cols)
+            m2 = frontier.masks[L].reshape(n_out, k_cols)
+            if model.concat_self:
+                sites.append((ids2[:, 1:], m2[:, 1:]))
+                sites.append((frontier.ids[L - 1], frontier.masks[L - 1]))
+            else:
+                sites.append((ids2, m2))
+        else:
+            sites.append((frontier.ids[L], frontier.masks[L]))
+        return sites
+
+    def _capacity_violated(self, frontier):
+        """True when any call site's per-pair request count exceeds its
+        static compact capacity this step (would clip rows => abort)."""
+        s = self.mesh.shape[self.axis]
+        np_ = self.features.rows_per_shard
+        violated = jnp.zeros((), bool)
+        for ids, mask in self._compact_sites(frontier):
+            q_local = ids.size // s
+            cap = request_capacity(q_local, s, self.capacity_slack)
+            flat = ids.reshape(s, q_local).astype(jnp.int32)
+            if mask is not None:
+                spread = (jnp.arange(q_local, dtype=jnp.int32) % s) * np_
+                flat = jnp.where(mask.reshape(s, q_local), flat, spread[None])
+            owner = flat // np_
+            cnt = (owner[:, :, None] == jnp.arange(s)[None, None, :]).sum(axis=1)
+            violated = violated | (cnt.max() > cap)
+        return violated
+
     # ------------------------------------------------------------------ step
     def _sharded_step(self, state, feature_shards, graph, seeds):
         model = self.model
@@ -201,7 +337,15 @@ class ShardedFeatureTrainer(Trainer):
         # Replicated sampling: identical math to the single-device step.
         frontier = model.sample(sample_key, graph, seeds)
         labels = jnp.take(graph.labels, seeds, axis=0)
-        gather_fn, gather_mean_fn = make_sharded_gather_fns(axis)
+        gather_fn, gather_mean_fn = make_sharded_gather_fns(
+            axis, mode=self.gather_mode,
+            num_shards=self.mesh.shape[axis], slack=self.capacity_slack,
+        )
+        violated = (
+            self._capacity_violated(frontier)
+            if self.gather_mode == "compact"
+            else jnp.zeros((), bool)
+        )
 
         def shard_step(params, shard, f_ids, f_masks, labels_local):
             local = Frontier(ids=f_ids, masks=f_masks)
@@ -243,26 +387,41 @@ class ShardedFeatureTrainer(Trainer):
                 step=state.step + 1,
             ),
             loss,
+            violated,
         )
 
     def _train_block(self, state, graph, seeds_all):
         """Scanned block dispatch over the SHARDED step (the inherited block
         would fall back to the replicated-table step). ``graph`` arrives from
         the parent's run() with the full feature leaf; only adjacency/labels
-        are read, so XLA dead-code-eliminates the replicated table."""
+        are read, so XLA dead-code-eliminates the replicated table.
+
+        A compact-mode capacity violation poisons that step's reported loss
+        to NaN (the precise abort lives in the single-step path; in scanned
+        blocks NaN is the loudest in-band signal — pair with --debug-nans).
+        """
 
         def body(st, seeds):
-            st, loss = self._sharded_step(st, self.feature_shards, graph, seeds)
-            return st, loss
+            st, loss, violated = self._sharded_step(
+                st, self.feature_shards, graph, seeds
+            )
+            return st, jnp.where(violated, jnp.nan, loss)
 
         return jax.lax.scan(body, state, seeds_all)
 
     # ----------------------------------------------------------------- api
     def step(self, state, seeds):
         seeds = jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl)
-        state, loss = self._jit_step(
+        state, loss, violated = self._jit_step(
             state, self.feature_shards, self._graph_nofeat, seeds
         )
+        if bool(violated):
+            raise ValueError(
+                "compact sharded-gather capacity exceeded this step: a "
+                "per-pair request bucket overflowed (rows would be "
+                "clipped). Increase capacity_slack or use "
+                "gather_mode='dense'."
+            )
         return state, loss
 
     def memory_stats(self) -> dict:

@@ -140,3 +140,60 @@ def test_run_end_to_end_with_block_dispatch(graph):
     assert np.isfinite(res["losses"]).all()
     assert len(res["losses"]) == 8
     assert 0.0 <= res["val_micro_f1"] <= 1.0
+
+
+def test_compact_gather_exact(graph):
+    """Request-routing all_to_all gather == local lookup (capacity ample)."""
+    from graphsage_tpu.parallel.feature_store import sharded_row_gather_compact
+
+    mesh = make_mesh({"data": 8})
+    fs = shard_features(graph.features, 8)
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, graph.num_nodes, size=(8, 24)).astype(np.int32)
+
+    def f(shard, ids_local):
+        return sharded_row_gather_compact("data", shard[0], ids_local[0], 24)[None]
+
+    out = shard_map(
+        f, mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"),
+    )(fs.shards, jnp.asarray(ids))
+    want = np.asarray(graph.features)[ids.reshape(-1)].reshape(8, 24, -1)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["plain", "concat_self"])
+def test_compact_trainer_matches_single_device(graph, mode):
+    kw = dict(
+        in_dim=graph.num_features, num_classes=graph.num_classes,
+        hidden_dims=(8, 8), fanouts=(4, 4), gather_impl="take",
+        matmul_precision="highest",
+    )
+    if mode == "concat_self":
+        kw["concat_self"] = True
+    model = GraphSAGE(**kw)
+    cfg = TrainConfig(batch_size=32, num_steps=3, learning_rate=0.5,
+                      test_size=40, val_size=40, log_every=0)
+    single = Trainer(model, graph, cfg)
+    mesh = make_mesh({"data": 8})
+    # generous slack: the 200-node graph's ids concentrate on few owners
+    compact = ShardedFeatureTrainer(model, graph, cfg, mesh,
+                                    gather_mode="compact", capacity_slack=8.0)
+    s1, s2 = single.init_state(), compact.init_state()
+    it1, it2 = single.batches(), compact.batches()
+    for _ in range(cfg.num_steps):
+        s1, l1 = single.step(s1, next(it1))
+        s2, l2 = compact.step(s2, next(it2))
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5, atol=1e-6)
+
+
+def test_compact_capacity_overflow_aborts(graph):
+    model = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
+                      hidden_dims=(8, 8), fanouts=(4, 4))
+    cfg = TrainConfig(batch_size=32, num_steps=1, test_size=40, val_size=40,
+                      log_every=0)
+    mesh = make_mesh({"data": 8})
+    tr = ShardedFeatureTrainer(model, graph, cfg, mesh,
+                               gather_mode="compact", capacity_slack=0.1)
+    state = tr.init_state()
+    with pytest.raises(ValueError, match="capacity"):
+        tr.step(state, next(tr.batches()))
