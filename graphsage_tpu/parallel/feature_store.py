@@ -409,6 +409,60 @@ class ShardedFeatureTrainer(Trainer):
 
         return jax.lax.scan(body, state, seeds_all)
 
+    # ------------------------------------------------------------------ eval
+    def _eval_logits_sharded(self, params, feature_shards, graph, seeds):
+        """Sampled eval logits through the node-sharded gather (same
+        machinery as the training step, fixed key — the reference's
+        sampled-eval observable without replicating the table)."""
+        import dataclasses as _dc
+
+        fanouts = self.cfg.eval_fanouts or self.model.fanouts
+        model = _dc.replace(self.model, fanouts=tuple(fanouts))
+        frontier = model.sample(
+            jax.random.PRNGKey(self.cfg.seed + 7), graph, seeds
+        )
+        gather_fn, gather_mean_fn = make_sharded_gather_fns(
+            self.axis, mode=self.gather_mode,
+            num_shards=self.mesh.shape[self.axis], slack=self.capacity_slack,
+        )
+
+        def shard_fwd(params, shard, f_ids, f_masks):
+            local = Frontier(ids=f_ids, masks=f_masks)
+            return model.forward(
+                params, shard[0], local,
+                gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
+            )
+
+        return shard_map(
+            shard_fwd,
+            mesh=self.mesh,
+            in_specs=(
+                P(), P(self.axis),
+                (P(self.axis),) * len(frontier.ids),
+                (P(self.axis),) * len(frontier.masks),
+            ),
+            out_specs=P(self.axis),
+            check_vma=False,
+        )(params, feature_shards, frontier.ids, frontier.masks)
+
+    def predict(self, state, nodes):
+        """Sampled eval stays node-sharded when ``eval_fanouts`` is set;
+        otherwise falls back to the inherited replicated full-graph forward
+        (fine for validation-sized calls; documented trade)."""
+        if self.cfg.eval_fanouts is None:
+            return super().predict(state, nodes)
+        nodes = np.asarray(nodes)
+        s = self.mesh.shape[self.axis]
+        pad = (-len(nodes)) % s
+        seeds = np.concatenate([nodes, np.zeros(pad, nodes.dtype)])
+        if self._jit_eval_logits is None:
+            self._jit_eval_logits = jax.jit(self._eval_logits_sharded)
+        logits = self._jit_eval_logits(
+            state.params, self.feature_shards, self._graph_nofeat,
+            jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl),
+        )
+        return np.asarray(jnp.argmax(logits, axis=-1))[: len(nodes)]
+
     # ----------------------------------------------------------------- api
     def step(self, state, seeds):
         seeds = jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl)

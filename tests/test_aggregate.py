@@ -71,3 +71,20 @@ def test_segment_mean_csr_padding_ignored():
     out = np.asarray(segment_mean_csr(vals, src, mask, 2))
     np.testing.assert_allclose(out[0], 2.0)
     np.testing.assert_allclose(out[1], 0.0)  # only a padding edge
+
+
+def test_gather_mean_dma_impl_matches_take():
+    """The streaming-DMA Pallas kernel is reachable via impl='dma'
+    (round-1 review: it was advertised but unwired); interpret mode on CPU."""
+    import jax
+
+    from graphsage_tpu.ops.aggregate import gather_mean
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((40, 12)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 40, size=(6, 5)).astype(np.int32))
+    mask = jnp.asarray(rng.random((6, 5)) < 0.8)
+    got = gather_mean(feats, idx, mask, impl="dma")
+    want = gather_mean(feats, idx, mask, impl="take")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)

@@ -197,3 +197,22 @@ def test_compact_capacity_overflow_aborts(graph):
     state = tr.init_state()
     with pytest.raises(ValueError, match="capacity"):
         tr.step(state, next(tr.batches()))
+
+
+def test_sharded_sampled_eval_matches_single_device(graph):
+    """eval_fanouts => predictions come from the node-sharded sampled
+    forward (fixed eval key), equal to the single-device trainer's."""
+    model = GraphSAGE(
+        in_dim=graph.num_features, num_classes=graph.num_classes,
+        hidden_dims=(8, 8), fanouts=(4, 4), gather_impl="take",
+        matmul_precision="highest",
+    )
+    cfg = TrainConfig(batch_size=32, num_steps=2, test_size=40, val_size=40,
+                      log_every=0, eval_fanouts=(4, 4))
+    mesh = make_mesh({"data": 8})
+    single = Trainer(model, graph, cfg)
+    sharded = ShardedFeatureTrainer(model, graph, cfg, mesh)
+    s1, s2 = single.init_state(), sharded.init_state()
+    p1 = single.predict(s1, single.val_nodes)
+    p2 = sharded.predict(s2, sharded.val_nodes)
+    np.testing.assert_array_equal(p1, p2)
