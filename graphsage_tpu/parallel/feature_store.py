@@ -41,7 +41,7 @@ follow-up, not a correctness need.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -134,6 +134,60 @@ def sharded_row_gather(
     return mine.reshape(*ids_local.shape, f)
 
 
+class _RouteCtx(NamedTuple):
+    """Sort bookkeeping of one request-routing round (static shapes)."""
+
+    sorted_owner: jax.Array  # [q]
+    slot: jax.Array  # [q] bucket slot of each sorted request
+    inv: jax.Array  # [q] inverse of the owner sort
+    violated: jax.Array  # [] bool — some bucket overflowed its capacity
+
+
+def _route_requests(
+    axis: str,
+    flat_ids: jax.Array,  # [q] global node ids (int32)
+    rows_per_shard: int,
+    capacity: int,
+    valid_mask: jax.Array | None = None,
+) -> tuple[jax.Array, _RouteCtx]:
+    """Sort requests by owner into per-pair buckets of static ``capacity``
+    and all_to_all them to their owners. Returns ``(recv_req [S, capacity],
+    ctx)`` — ``recv_req[d]`` holds peer ``d``'s requests for OUR rows.
+    Masked/padded ids spread round-robin across owners so they cannot pile
+    onto shard 0; overflow sets ``ctx.violated`` (rows would be clipped)."""
+    q = flat_ids.shape[0]
+    s = jax.lax.axis_size(axis)
+    if valid_mask is not None:
+        spread = (jnp.arange(q, dtype=jnp.int32) % s) * rows_per_shard
+        flat_ids = jnp.where(valid_mask.reshape(-1), flat_ids, spread)
+    owner = flat_ids // rows_per_shard
+    order = jnp.argsort(owner, stable=True)
+    sorted_owner = owner[order]
+    starts = jnp.searchsorted(sorted_owner, jnp.arange(s, dtype=owner.dtype))
+    rank = jnp.arange(q) - starts[sorted_owner]
+    violated = (rank >= capacity).any()
+    slot = jnp.clip(rank, 0, capacity - 1)
+    req = jnp.zeros((s, capacity), jnp.int32).at[sorted_owner, slot].set(
+        flat_ids[order]
+    )
+    recv_req = jax.lax.all_to_all(
+        req[:, :, None], axis, split_axis=0, concat_axis=0, tiled=False
+    )[..., 0]
+    return recv_req, _RouteCtx(
+        sorted_owner=sorted_owner, slot=slot, inv=jnp.argsort(order),
+        violated=violated,
+    )
+
+
+def _route_answers(axis: str, answers: jax.Array, ctx: _RouteCtx) -> jax.Array:
+    """Ship per-request answers ``[S, capacity, ...]`` back to the
+    requesters and restore original request order -> ``[q, ...]``."""
+    got = jax.lax.all_to_all(
+        answers, axis, split_axis=0, concat_axis=0, tiled=False
+    )
+    return got[ctx.sorted_owner, ctx.slot][ctx.inv]
+
+
 def sharded_row_gather_compact(
     axis: str,
     table_local: jax.Array,  # [Np, F] — this chip's node range
@@ -151,43 +205,19 @@ def sharded_row_gather_compact(
     — about ``S/slack`` times less than the dense psum_scatter form, which
     ships zero rows for everything a chip does not own.
 
-    ``capacity`` must cover the worst per-pair request count; masked/padded
-    ids (``valid_mask=False``) are rewritten to spread round-robin across
-    owners so they cannot pile onto shard 0. Exactness is guarded by the
-    caller (ShardedFeatureTrainer checks the true per-pair max each step
-    and aborts loudly on overflow rather than training on clipped rows).
+    ``capacity`` must cover the worst per-pair request count. Exactness is
+    guarded by the caller (the trainers check overflow each step and abort
+    loudly rather than training on clipped rows).
     """
     np_, f = table_local.shape
     shape = ids_local.shape
     flat = ids_local.reshape(-1).astype(jnp.int32)
-    q = flat.shape[0]
     s = jax.lax.axis_size(axis)
     my_first = jax.lax.axis_index(axis) * np_
-    if valid_mask is not None:
-        # Spread padded requests evenly so they never overflow one owner.
-        spread = (jnp.arange(q, dtype=jnp.int32) % s) * np_
-        flat = jnp.where(valid_mask.reshape(-1), flat, spread)
-    owner = flat // np_
-    order = jnp.argsort(owner, stable=True)
-    sorted_owner = owner[order]
-    starts = jnp.searchsorted(sorted_owner, jnp.arange(s, dtype=owner.dtype))
-    rank = jnp.arange(q) - starts[sorted_owner]
-    slot = jnp.clip(rank, 0, capacity - 1)
-    req = jnp.zeros((s, capacity), jnp.int32).at[sorted_owner, slot].set(
-        flat[order], mode="drop"
-    )
-    # Ship requests to their owners; answer; ship rows back.
-    recv_req = jax.lax.all_to_all(
-        req[:, :, None], axis, split_axis=0, concat_axis=0, tiled=False
-    )[..., 0]
+    recv_req, ctx = _route_requests(axis, flat, np_, capacity, valid_mask)
     loc = jnp.clip(recv_req.reshape(-1) - my_first, 0, np_ - 1)
     answers = jnp.take(table_local, loc, axis=0).reshape(s, capacity, f)
-    got = jax.lax.all_to_all(
-        answers, axis, split_axis=0, concat_axis=0, tiled=False
-    )
-    rows_sorted = got[sorted_owner, slot]  # [q, F]
-    inv = jnp.argsort(order)
-    return rows_sorted[inv].reshape(*shape, f)
+    return _route_answers(axis, answers, ctx).reshape(*shape, f)
 
 
 def request_capacity(q_local: int, num_shards: int, slack: float = 1.5) -> int:
@@ -480,3 +510,269 @@ class ShardedFeatureTrainer(Trainer):
 
     def memory_stats(self) -> dict:
         return self.features.memory_stats()
+
+
+# ---------------------------------------------------------------------------
+# Fully sharded sampled training: adjacency sharded too, with DISTRIBUTED
+# neighbor sampling (each hop routes frontier ids to their owner shard,
+# which samples locally and ships the sampled neighbor ids back). Nothing
+# per-graph is replicated: adjacency is E/S edges per chip, features
+# N/S * F, the batch B/S — the FastSample-style layout for graphs whose
+# adjacency alone exceeds one chip's memory.
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class ShardedAdjacency:
+    """Per-shard adjacency: each chip owns its node range's ELL rows and
+    (complete) local CSR slice. Neighbor ids stay GLOBAL — sampling returns
+    global ids ready for the next routing hop."""
+
+    ell: jax.Array  # [S, Np, W] global neighbor ids (0-padded)
+    degrees: jax.Array  # [S, Np] true degrees
+    indptr: jax.Array  # [S, Np + 1] LOCAL csr offsets
+    edge_dst: jax.Array  # [S, E_max] global neighbor ids per local edge
+    num_shards: int = struct.field(pytree_node=False)
+    rows_per_shard: int = struct.field(pytree_node=False)
+    ell_covers_all: bool = struct.field(pytree_node=False)
+
+    def memory_stats(self) -> dict:
+        per_chip = sum(
+            int(np.prod(a.shape[1:])) * jnp.dtype(a.dtype).itemsize
+            for a in (self.ell, self.degrees, self.indptr, self.edge_dst)
+        )
+        replicated = per_chip * self.num_shards  # upper bound (padding)
+        return {
+            "adjacency_bytes_per_chip": per_chip,
+            "adjacency_bytes_replicated_approx": replicated,
+        }
+
+
+def shard_adjacency(graph: Graph, num_shards: int) -> ShardedAdjacency:
+    """Split the graph's ELL + CSR views into equal node-range shards
+    (host-side; same ownership rule as :func:`shard_features`)."""
+    ell = np.asarray(graph.neighbors)
+    deg = np.asarray(graph.degrees)
+    indptr = np.asarray(graph.indptr).astype(np.int64)
+    edge_dst = np.asarray(graph.edge_dst)
+    n = graph.num_nodes
+    rows = _round_up(max(-(-n // num_shards), 1), 8)
+    w = ell.shape[1]
+    e_max = 0
+    for s in range(num_shards):
+        lo, hi = min(s * rows, n), min(s * rows + rows, n)
+        e_max = max(e_max, int(indptr[hi] - indptr[lo]))
+    e_max = _round_up(max(e_max, 1), 128)
+
+    ell_s = np.zeros((num_shards, rows, w), np.int32)
+    deg_s = np.zeros((num_shards, rows), np.int32)
+    ind_s = np.zeros((num_shards, rows + 1), np.int32)
+    dst_s = np.zeros((num_shards, e_max), np.int32)
+    for s in range(num_shards):
+        lo, hi = min(s * rows, n), min(s * rows + rows, n)
+        sz = hi - lo
+        ell_s[s, :sz] = ell[lo:hi]
+        deg_s[s, :sz] = deg[lo:hi]
+        local = indptr[lo : hi + 1] - indptr[lo]
+        ind_s[s, : sz + 1] = local
+        ind_s[s, sz + 1 :] = local[-1] if sz else 0
+        e = int(indptr[hi] - indptr[lo])
+        dst_s[s, :e] = edge_dst[indptr[lo] : indptr[hi]]
+    return ShardedAdjacency(
+        ell=jnp.asarray(ell_s),
+        degrees=jnp.asarray(deg_s),
+        indptr=jnp.asarray(ind_s),
+        edge_dst=jnp.asarray(dst_s),
+        num_shards=num_shards,
+        rows_per_shard=rows,
+        ell_covers_all=graph.ell_covers_all,
+    )
+
+
+def sharded_sample_neighbors(
+    axis: str,
+    adj: ShardedAdjacency,
+    ell_local: jax.Array,  # [Np, W]
+    deg_local: jax.Array,  # [Np]
+    indptr_local: jax.Array,  # [Np + 1]
+    edge_dst_local: jax.Array,  # [E_max]
+    ids: jax.Array,  # [q] global parent ids (this chip's frontier slice)
+    fanout: int | None,
+    key: jax.Array,
+    capacity: int,
+    valid_mask: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One DISTRIBUTED sampling hop (call inside shard_map): frontier ids
+    route to their owner shard, the owner runs the vectorized sampler over
+    its local ELL/CSR tables, and the sampled GLOBAL neighbor ids ship
+    back. Owner-side randomness is keyed by ``fold_in(key, axis_index)``
+    (deterministic per mesh). Returns ``(ids [q, k], mask [q, k],
+    violated)``; with ``fanout >= max degree`` or ``fanout=None`` the
+    result is deterministic and equals the single-device sampler's."""
+    from graphsage_tpu.ops.sampling import sample_neighbors
+
+    np_ = adj.rows_per_shard
+    s = jax.lax.axis_size(axis)
+    my_first = jax.lax.axis_index(axis) * np_
+    recv_req, ctx = _route_requests(
+        axis, ids.reshape(-1).astype(jnp.int32), np_, capacity, valid_mask
+    )
+    local_rows = jnp.clip(recv_req.reshape(-1) - my_first, 0, np_ - 1)
+    skey = jax.random.fold_in(key, jax.lax.axis_index(axis))
+    nids, nmask = sample_neighbors(
+        skey, ell_local, deg_local, local_rows, fanout,
+        indptr=indptr_local, edge_dst=edge_dst_local,
+        ell_covers_all=adj.ell_covers_all,
+    )
+    k = nids.shape[-1]
+    back_ids = _route_answers(axis, nids.reshape(s, capacity, k), ctx)
+    back_mask = _route_answers(axis, nmask.reshape(s, capacity, k), ctx)
+    if valid_mask is not None:
+        back_mask = back_mask & valid_mask.reshape(-1)[:, None]
+    return back_ids, back_mask, ctx.violated
+
+
+def sharded_sample_frontier(
+    axis: str,
+    model: GraphSAGE,
+    adj: ShardedAdjacency,
+    adj_leaves: tuple,  # (ell, deg, indptr, edge_dst) local [1, ...] leaves
+    seeds_local: jax.Array,  # [B_local]
+    key: jax.Array,
+    slack: float,
+) -> tuple[Frontier, jax.Array]:
+    """Per-shard frontier expansion mirroring :meth:`GraphSAGE.sample`,
+    with every hop's neighbor lookup distributed (call inside shard_map).
+    Returns the shard-local Frontier and an overflow flag."""
+    ell, deg, indptr, edge_dst = (a[0] for a in adj_leaves)
+    s = jax.lax.axis_size(axis)
+    seeds_local = seeds_local.reshape(-1)
+    ids = [seeds_local]
+    masks = [jnp.ones(seeds_local.shape, bool)]
+    violated = jnp.zeros((), bool)
+    L = model.num_layers
+    hop_keys = jax.random.split(key, L)
+    for h in range(1, L + 1):
+        fanout = model.fanouts[L - h]
+        parent_ids, parent_mask = ids[-1], masks[-1]
+        cap = request_capacity(int(parent_ids.shape[0]), s, slack)
+        nids, nmask, viol = sharded_sample_neighbors(
+            axis, adj, ell, deg, indptr, edge_dst,
+            parent_ids, fanout, hop_keys[h - 1], cap,
+            valid_mask=parent_mask,
+        )
+        violated = violated | viol
+        if model.concat_self or model.self_loop:
+            nids = jnp.concatenate([parent_ids[:, None], nids], axis=1)
+            nmask = jnp.concatenate([parent_mask[:, None], nmask], axis=1)
+        ids.append(nids.reshape(-1))
+        masks.append(nmask.reshape(-1))
+    return Frontier(ids=tuple(ids), masks=tuple(masks)), violated
+
+
+class FullyShardedTrainer(ShardedFeatureTrainer):
+    """Sampled training with NOTHING graph-sized replicated: adjacency,
+    feature table, and seed batch all shard over one mesh axis. Each hop's
+    neighbor expansion is a distributed sample (request-routing all_to_all
+    to the owner, owner-side vectorized sampling, ids routed back); the
+    feature lookup uses the compact sharded gather. Per-chip graph memory
+    is ``E/S`` edges + ``N/S * F`` features.
+
+    Sampling randomness is owner-keyed, so losses are not bit-equal to the
+    single-device trainer in general — parity is pinned where sampling is
+    deterministic (``fanout >= max degree`` / ``fanout=None``), plus
+    shape/mask invariants (tests/test_feature_store.py).
+    """
+
+    def __init__(self, model, graph, config, mesh, axis="data",
+                 capacity_slack: float = 1.5):
+        super().__init__(
+            model, graph, config, mesh, axis=axis,
+            gather_mode="compact", capacity_slack=capacity_slack,
+        )
+        self.adjacency = shard_adjacency(graph, mesh.shape[axis])
+        self.adjacency_shards = jax.device_put(
+            (self.adjacency.ell, self.adjacency.degrees,
+             self.adjacency.indptr, self.adjacency.edge_dst),
+            self._shard_sharding,
+        )
+        self._jit_step = jax.jit(self._fully_sharded_step, donate_argnums=(0,))
+
+    def _fully_sharded_step(self, state, feature_shards, adj_leaves, seeds):
+        model = self.model
+        axis = self.axis
+        adj = self.adjacency
+        next_key, sample_key = jax.random.split(state.key)
+        gather_fn, gather_mean_fn = make_sharded_gather_fns(
+            axis, mode="compact",
+            num_shards=self.mesh.shape[axis], slack=self.capacity_slack,
+        )
+        labels_all = self.graph.labels  # [N] int32 — tiny, replicated
+
+        def shard_step(params, shard, adj_local, seeds_local, labels_local):
+            frontier, violated = sharded_sample_frontier(
+                axis, model, adj, adj_local, seeds_local[0], sample_key,
+                self.capacity_slack,
+            )
+
+            def loss_fn(p):
+                return model.loss(
+                    p, shard[0], frontier, labels_local,
+                    gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            s = jax.lax.axis_size(axis)
+            loss = jax.lax.psum(loss, axis) / s
+            grads = jax.tree_util.tree_map(
+                lambda t: jax.lax.psum(t, axis) / s, grads
+            )
+            violated = jax.lax.psum(violated.astype(jnp.int32), axis) > 0
+            return loss, grads, violated
+
+        labels = jnp.take(labels_all, seeds, axis=0)
+        loss, grads, violated = shard_map(
+            shard_step,
+            mesh=self.mesh,
+            in_specs=(
+                P(), P(self.axis),
+                (P(self.axis),) * 4,
+                P(self.axis), P(self.axis),
+            ),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(state.params, feature_shards, adj_leaves,
+          seeds.reshape(self.mesh.shape[self.axis], -1), labels)
+
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, key=next_key,
+                       step=state.step + 1),
+            loss,
+            violated,
+        )
+
+    def _train_block(self, state, graph, seeds_all):
+        def body(st, seeds):
+            st, loss, violated = self._fully_sharded_step(
+                st, self.feature_shards, self.adjacency_shards, seeds
+            )
+            return st, jnp.where(violated, jnp.nan, loss)
+
+        return jax.lax.scan(body, state, seeds_all)
+
+    def step(self, state, seeds):
+        seeds = jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl)
+        state, loss, violated = self._jit_step(
+            state, self.feature_shards, self.adjacency_shards, seeds
+        )
+        if bool(violated):
+            raise ValueError(
+                "distributed-sampling request capacity exceeded this step; "
+                "increase capacity_slack"
+            )
+        return state, loss
+
+    def memory_stats(self) -> dict:
+        return {**self.features.memory_stats(), **self.adjacency.memory_stats()}
