@@ -201,6 +201,9 @@ def main(argv: Optional[list[str]] = None) -> None:
                         help="evaluate a --resume checkpoint (val + test F1; "
                         "the reference computes its test split but never "
                         "evaluates it — quirk Q6) without training")
+    parser.add_argument("--diagnostics-dir", default=None,
+                        help="collect fault/hang stack traces here during "
+                             "training (cloud-tpu-diagnostics; SURVEY §5.3)")
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (fail fast on NaN, "
                         "SURVEY.md §5.2 — e.g. Q4-class bugs)")
@@ -232,16 +235,26 @@ def main(argv: Optional[list[str]] = None) -> None:
 
         jax.config.update("jax_debug_nans", True)
 
-    result = run_preset(
-        args.preset,
-        data_root=args.data_root,
-        overrides=overrides or None,
-        checkpoint_path=args.checkpoint,
-        mode=args.mode,
-        resume_path=args.resume,
-        eval_only=args.eval_only,
-        checkpoint_every=args.checkpoint_every,
+    import contextlib
+
+    from graphsage_tpu.utils.diagnostics import diagnose
+
+    diag = (
+        diagnose(stack_trace_dir=args.diagnostics_dir)
+        if args.diagnostics_dir
+        else contextlib.nullcontext()
     )
+    with diag:
+        result = run_preset(
+            args.preset,
+            data_root=args.data_root,
+            overrides=overrides or None,
+            checkpoint_path=args.checkpoint,
+            mode=args.mode,
+            resume_path=args.resume,
+            eval_only=args.eval_only,
+            checkpoint_every=args.checkpoint_every,
+        )
     if args.log_jsonl:
         from graphsage_tpu.utils.logging import MetricsLogger
 

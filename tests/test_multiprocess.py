@@ -117,6 +117,30 @@ WORKER = textwrap.dedent(
     dp_loss = float(np.asarray(jax.device_get(dp_loss)))
     assert abs(dp_loss - local_loss) < 1e-5, (dp_loss, local_loss)
 
+    # --- a FULL training step (grads + SGD) across the process mesh ----
+    import optax
+    tx = optax.sgd(0.5)
+
+    def train_step(params, opt_state, graph, seeds, key):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(p, graph, seeds, key)
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    opt0 = tx.init(params)
+    p_local, _, l_local = jax.jit(train_step)(params, opt0, g, seeds_np, key)
+    p_dist, _, l_dist = jax.jit(train_step)(
+        p_glob, globalize(opt0, repl), g_glob, seeds_glob, k_glob
+    )
+    assert abs(float(np.asarray(jax.device_get(l_dist))) - float(l_local)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(p_local),
+                    jax.tree_util.tree_leaves(p_dist)):
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b)),
+            rtol=1e-5, atol=1e-6,
+        )
+
     print(f"proc {pid} OK local_loss={local_loss:.6f} dp_loss={dp_loss:.6f}",
           flush=True)
     """

@@ -22,3 +22,25 @@ def test_unknown_batching_mode_raises():
         test_size=20, val_size=20, batching="bogus"))
     with pytest.raises(ValueError, match="unknown batching"):
         next(trainer.batches())
+
+
+def test_diagnose_context_runs_and_falls_back():
+    """The failure-diagnostics wrapper (SURVEY §5.3) must run its block
+    both with the real collector and with the no-op fallback."""
+    import sys
+    import warnings
+    from unittest import mock
+
+    from graphsage_tpu.utils import diagnostics
+
+    ran = []
+    with diagnostics.diagnose(hang_interval_seconds=600):
+        ran.append(1)
+    assert ran == [1]
+
+    with mock.patch.dict(sys.modules, {"cloud_tpu_diagnostics": None}):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            with diagnostics.diagnose():
+                ran.append(2)
+    assert ran == [1, 2]
