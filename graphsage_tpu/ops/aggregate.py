@@ -70,8 +70,14 @@ def segment_mean_csr(
     """
     w = edge_mask.astype(values.dtype)
     summed = jax.ops.segment_sum(values * w[:, None], edge_src, num_segments=num_nodes)
-    counts = jax.ops.segment_sum(w, edge_src, num_segments=num_nodes)
-    return summed / jnp.maximum(counts, 1.0)[:, None]
+    # Counts accumulate in f32 regardless of compute dtype: a bf16
+    # scatter-add saturates at 256 (256+1 rounds back to 256), silently
+    # wrecking hub-row divisors on power-law graphs.
+    counts = jax.ops.segment_sum(
+        edge_mask.astype(jnp.float32), edge_src, num_segments=num_nodes
+    )
+    mean = summed.astype(jnp.float32) / jnp.maximum(counts, 1.0)[:, None]
+    return mean.astype(values.dtype)
 
 
 def _gather_mean_fwd_dispatch(

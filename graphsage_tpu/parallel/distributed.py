@@ -59,10 +59,14 @@ def sharded_spmm_mean(
         w = mask.astype(feats.dtype)
         per_edge = jnp.take(feats, dst, axis=0) * w[:, None]
         summed = jax.ops.segment_sum(per_edge, src, num_segments=num_nodes)
-        count = jax.ops.segment_sum(w, src, num_segments=num_nodes)
+        # f32 counts: bf16 scatter-adds saturate at 256 (hub degrees).
+        count = jax.ops.segment_sum(
+            mask.astype(jnp.float32), src, num_segments=num_nodes
+        )
         summed = jax.lax.psum(summed, axis)
         count = jax.lax.psum(count, axis)
-        return summed / jnp.maximum(count, 1.0)[:, None], count
+        mean = summed.astype(jnp.float32) / jnp.maximum(count, 1.0)[:, None]
+        return mean.astype(feats.dtype), count
 
     return shard_map(
         local,

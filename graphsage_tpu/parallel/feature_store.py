@@ -90,8 +90,16 @@ class NodeShardedFeatures:
         }
 
 
-def shard_features(features: jax.Array, num_shards: int) -> NodeShardedFeatures:
-    """Split ``features[N, F]`` into equal node-range shards (host-side)."""
+def shard_features(
+    features: jax.Array, num_shards: int, sharding=None
+) -> NodeShardedFeatures:
+    """Split ``features[N, F]`` into equal node-range shards (host-side).
+
+    ``sharding`` places the stacked array directly (one device transfer to
+    the SHARDED layout); without it the array lands on the default device.
+    Building from numpy and placing once matters: an intermediate unsharded
+    device copy of the full [S, Np, F] stack would silently keep a second
+    whole-table resident and defeat the memory accounting."""
     feats = np.asarray(features)
     n, f = feats.shape
     rows = _round_up(max(-(-n // num_shards), 1), 8)
@@ -100,8 +108,13 @@ def shard_features(features: jax.Array, num_shards: int) -> NodeShardedFeatures:
         lo = min(s * rows, n)
         hi = min(lo + rows, n)
         stacked[s, : hi - lo] = feats[lo:hi]
+    placed = (
+        jax.device_put(stacked, sharding)
+        if sharding is not None
+        else jnp.asarray(stacked)
+    )
     return NodeShardedFeatures(
-        shards=jnp.asarray(stacked),
+        shards=placed,
         num_shards=num_shards,
         rows_per_shard=rows,
         num_nodes=n,
@@ -302,29 +315,34 @@ class ShardedFeatureTrainer(Trainer):
         s = mesh.shape[axis]
         if config.batch_size % s:
             raise ValueError(
-                f"batch_size {config.batch_size} must divide axis {axis!r} "
-                f"size {s}"
+                f"batch_size {config.batch_size} must be divisible by the "
+                f"{axis!r} axis size {s}"
             )
         super().__init__(model, graph, config)
-        self.features = shard_features(graph.features, s)
-        # Frontier construction reads only adjacency: blank the replicated
-        # feature payload (keep dtype/width for shape bookkeeping).
-        self._graph_nofeat = graph.replace(
-            features=jnp.zeros((1, graph.num_features), graph.features.dtype)
-        )
         self._shard_sharding = NamedSharding(mesh, P(axis))
         self._repl = NamedSharding(mesh, P())
-        self.feature_shards = jax.device_put(
-            self.features.shards, self._shard_sharding
+        self.features = shard_features(
+            graph.features, s, sharding=self._shard_sharding
+        )
+        self.feature_shards = self.features.shards
+        # Frontier construction reads only adjacency: blank the replicated
+        # feature payload (keep dtype/width for shape bookkeeping). The
+        # FULL graph (incl. its feature table) stays reachable via
+        # self.graph only for the inherited full-graph eval fallback — at
+        # true pod scale use eval_fanouts (sampled sharded eval) so that
+        # copy is never touched/placed.
+        self._graph_nofeat = graph.replace(
+            features=jnp.zeros((1, graph.num_features), graph.features.dtype)
         )
         self._jit_step = jax.jit(self._sharded_step, donate_argnums=(0,))
 
     # --------------------------------------------------------------- compact
-    def _compact_sites(self, frontier):
+    def _compact_sites(self, frontier, model=None):
         """(ids, mask) per table-lookup call site of the forward — mirrors
         GraphSAGE.forward's branches so the capacity check sees exactly the
-        requests the compact exchange will route."""
-        model = self.model
+        requests the compact exchange will route. ``model`` overrides
+        self.model (eval uses different fanouts)."""
+        model = model if model is not None else self.model
         L = model.num_layers
         sites = []
         if model.aggregator == "mean":
@@ -341,21 +359,24 @@ class ShardedFeatureTrainer(Trainer):
             sites.append((frontier.ids[L], frontier.masks[L]))
         return sites
 
-    def _capacity_violated(self, frontier):
-        """True when any call site's per-pair request count exceeds its
-        static compact capacity this step (would clip rows => abort)."""
+    def _local_sites_violated(self, frontier, model=None):
+        """True when any table-lookup call site of THIS shard's frontier
+        exceeds its static compact capacity (rows would clip => abort).
+        Call inside shard_map with the shard-local frontier — the sites and
+        the mask-spread handling mirror the compact gather fns exactly
+        (``_compact_sites`` is the single source of both)."""
         s = self.mesh.shape[self.axis]
         np_ = self.features.rows_per_shard
         violated = jnp.zeros((), bool)
-        for ids, mask in self._compact_sites(frontier):
-            q_local = ids.size // s
-            cap = request_capacity(q_local, s, self.capacity_slack)
-            flat = ids.reshape(s, q_local).astype(jnp.int32)
+        for ids, mask in self._compact_sites(frontier, model):
+            q_l = ids.size
+            cap = request_capacity(q_l, s, self.capacity_slack)
+            flat = ids.reshape(-1).astype(jnp.int32)
             if mask is not None:
-                spread = (jnp.arange(q_local, dtype=jnp.int32) % s) * np_
-                flat = jnp.where(mask.reshape(s, q_local), flat, spread[None])
+                spread = (jnp.arange(q_l, dtype=jnp.int32) % s) * np_
+                flat = jnp.where(mask.reshape(-1), flat, spread)
             owner = flat // np_
-            cnt = (owner[:, :, None] == jnp.arange(s)[None, None, :]).sum(axis=1)
+            cnt = (owner[:, None] == jnp.arange(s)[None, :]).sum(axis=0)
             violated = violated | (cnt.max() > cap)
         return violated
 
@@ -371,14 +392,14 @@ class ShardedFeatureTrainer(Trainer):
             axis, mode=self.gather_mode,
             num_shards=self.mesh.shape[axis], slack=self.capacity_slack,
         )
-        violated = (
-            self._capacity_violated(frontier)
-            if self.gather_mode == "compact"
-            else jnp.zeros((), bool)
-        )
 
         def shard_step(params, shard, f_ids, f_masks, labels_local):
             local = Frontier(ids=f_ids, masks=f_masks)
+            violated = (
+                self._local_sites_violated(local)
+                if self.gather_mode == "compact"
+                else jnp.zeros((), bool)
+            )
 
             def loss_fn(p):
                 return model.loss(
@@ -394,9 +415,10 @@ class ShardedFeatureTrainer(Trainer):
             grads = jax.tree_util.tree_map(
                 lambda t: jax.lax.psum(t, axis) / s, grads
             )
-            return loss, grads
+            violated_any = jax.lax.psum(violated.astype(jnp.int32), axis) > 0
+            return loss, grads, violated_any
 
-        loss, grads = shard_map(
+        loss, grads, violated = shard_map(
             shard_step,
             mesh=self.mesh,
             in_specs=(
@@ -405,7 +427,7 @@ class ShardedFeatureTrainer(Trainer):
                 (P(axis),) * len(frontier.masks),
                 P(axis),
             ),
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P()),
             check_vma=False,
         )(state.params, feature_shards, frontier.ids, frontier.masks, labels)
 
@@ -458,10 +480,19 @@ class ShardedFeatureTrainer(Trainer):
 
         def shard_fwd(params, shard, f_ids, f_masks):
             local = Frontier(ids=f_ids, masks=f_masks)
-            return model.forward(
+            violated = (
+                self._local_sites_violated(local, model)  # eval fanouts
+                if self.gather_mode == "compact"
+                else jnp.zeros((), bool)
+            )
+            logits = model.forward(
                 params, shard[0], local,
                 gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
             )
+            violated = jax.lax.psum(
+                violated.astype(jnp.int32), self.axis
+            ) > 0
+            return logits, violated
 
         return shard_map(
             shard_fwd,
@@ -471,7 +502,7 @@ class ShardedFeatureTrainer(Trainer):
                 (P(self.axis),) * len(frontier.ids),
                 (P(self.axis),) * len(frontier.masks),
             ),
-            out_specs=P(self.axis),
+            out_specs=(P(self.axis), P()),
             check_vma=False,
         )(params, feature_shards, frontier.ids, frontier.masks)
 
@@ -487,10 +518,15 @@ class ShardedFeatureTrainer(Trainer):
         seeds = np.concatenate([nodes, np.zeros(pad, nodes.dtype)])
         if self._jit_eval_logits is None:
             self._jit_eval_logits = jax.jit(self._eval_logits_sharded)
-        logits = self._jit_eval_logits(
+        logits, violated = self._jit_eval_logits(
             state.params, self.feature_shards, self._graph_nofeat,
             jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl),
         )
+        if bool(violated):
+            raise ValueError(
+                "compact sharded-gather capacity exceeded during eval; "
+                "increase capacity_slack or use gather_mode='dense'"
+            )
         return np.asarray(jnp.argmax(logits, axis=-1))[: len(nodes)]
 
     # ----------------------------------------------------------------- api
@@ -548,9 +584,12 @@ class ShardedAdjacency:
         }
 
 
-def shard_adjacency(graph: Graph, num_shards: int) -> ShardedAdjacency:
+def shard_adjacency(
+    graph: Graph, num_shards: int, sharding=None
+) -> ShardedAdjacency:
     """Split the graph's ELL + CSR views into equal node-range shards
-    (host-side; same ownership rule as :func:`shard_features`)."""
+    (host-side; same ownership rule as :func:`shard_features`).
+    ``sharding`` places arrays directly in the sharded layout."""
     ell = np.asarray(graph.neighbors)
     deg = np.asarray(graph.degrees)
     indptr = np.asarray(graph.indptr).astype(np.int64)
@@ -578,11 +617,16 @@ def shard_adjacency(graph: Graph, num_shards: int) -> ShardedAdjacency:
         ind_s[s, sz + 1 :] = local[-1] if sz else 0
         e = int(indptr[hi] - indptr[lo])
         dst_s[s, :e] = edge_dst[indptr[lo] : indptr[hi]]
+    place = (
+        (lambda a: jax.device_put(a, sharding))
+        if sharding is not None
+        else jnp.asarray
+    )
     return ShardedAdjacency(
-        ell=jnp.asarray(ell_s),
-        degrees=jnp.asarray(deg_s),
-        indptr=jnp.asarray(ind_s),
-        edge_dst=jnp.asarray(dst_s),
+        ell=place(ell_s),
+        degrees=place(deg_s),
+        indptr=place(ind_s),
+        edge_dst=place(dst_s),
         num_shards=num_shards,
         rows_per_shard=rows,
         ell_covers_all=graph.ell_covers_all,
@@ -690,11 +734,12 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
             model, graph, config, mesh, axis=axis,
             gather_mode="compact", capacity_slack=capacity_slack,
         )
-        self.adjacency = shard_adjacency(graph, mesh.shape[axis])
-        self.adjacency_shards = jax.device_put(
-            (self.adjacency.ell, self.adjacency.degrees,
-             self.adjacency.indptr, self.adjacency.edge_dst),
-            self._shard_sharding,
+        self.adjacency = shard_adjacency(
+            graph, mesh.shape[axis], sharding=self._shard_sharding
+        )
+        self.adjacency_shards = (
+            self.adjacency.ell, self.adjacency.degrees,
+            self.adjacency.indptr, self.adjacency.edge_dst,
         )
         self._jit_step = jax.jit(self._fully_sharded_step, donate_argnums=(0,))
 
@@ -714,6 +759,8 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
                 axis, model, adj, adj_local, seeds_local[0], sample_key,
                 self.capacity_slack,
             )
+            # Feature-gather sites overflow independently of sampling hops.
+            violated = violated | self._local_sites_violated(frontier)
 
             def loss_fn(p):
                 return model.loss(

@@ -590,8 +590,10 @@ def _halo_aggregate(
         else:
             vals = jnp.where(mask[:, None], jnp.take(buf, slot, axis=0), neg)
             red = jax.ops.segment_max(vals, row, num_segments=np_)
+        # f32 counts regardless of compute dtype: bf16 scatter-adds
+        # saturate at 256, wrecking hub-row mean divisors.
         cnt = jax.ops.segment_sum(
-            mask.astype(h_local.dtype), row, num_segments=np_
+            mask.astype(jnp.float32), row, num_segments=np_
         )
         return red, cnt
 
@@ -647,7 +649,9 @@ def _halo_aggregate(
             count = count + c
 
     if op == "sum":
-        out = acc / jnp.maximum(count, 1.0)[:, None]
+        out = (
+            acc.astype(jnp.float32) / jnp.maximum(count, 1.0)[:, None]
+        ).astype(h_local.dtype)
     else:
         out = jnp.where((count > 0)[:, None], acc, jnp.zeros_like(acc))
     return out[None], count[None]

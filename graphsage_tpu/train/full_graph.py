@@ -169,6 +169,11 @@ class FullGraphTrainer:
         checkpoint_path: str | None = None,
         checkpoint_every: int = 0,
     ) -> dict[str, Any]:
+        if checkpoint_every > 0 and not checkpoint_path:
+            raise ValueError(
+                "checkpoint_every > 0 needs checkpoint_path — without it "
+                "no snapshot would ever be written"
+            )
         state = initial_state if initial_state is not None else self.init_state()
         losses, times = [], []
         # Same dispatch policy as Trainer.run: per-step for short runs (the

@@ -240,6 +240,11 @@ class Trainer:
         continues the data order instead of replaying the head, and
         ``num_steps`` means that many *additional* steps.
         """
+        if checkpoint_every > 0 and not checkpoint_path:
+            raise ValueError(
+                "checkpoint_every > 0 needs checkpoint_path — without it "
+                "no snapshot would ever be written"
+            )
         cfg = self.cfg
         state = initial_state if initial_state is not None else self.init_state()
         batch_iter = self.batches(

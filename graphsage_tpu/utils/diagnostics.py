@@ -76,4 +76,9 @@ def diagnose(
     try:
         yield
     finally:
-        _debug._exit_flag.set()
+        # Guarded: a library-internal rename must never mask the real
+        # exception coming out of the training block.
+        try:
+            _debug._exit_flag.set()
+        except Exception:
+            pass

@@ -88,3 +88,36 @@ def test_gather_mean_dma_impl_matches_take():
     want = gather_mean(feats, idx, mask, impl="take")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_segment_mean_counts_do_not_saturate_in_bf16():
+    """Hub-degree counts must accumulate in f32: a bf16 scatter-add
+    saturates at 256 (256+1 rounds back to 256), so a degree-1000 hub's
+    mean divisor would be ~4x too small. Alternating +-1 values keep the
+    SUM exactly representable, isolating the count path."""
+    from graphsage_tpu.ops.aggregate import segment_mean_csr
+
+    deg = 1000
+    vals = np.ones((deg, 4), np.float32)
+    vals[1::2] *= -1.0  # sum = 0 exactly, count = 1000
+    src = np.zeros(deg, np.int32)
+    mask = np.ones(deg, bool)
+    out_bf16 = segment_mean_csr(
+        jnp.asarray(vals, jnp.bfloat16), jnp.asarray(src), jnp.asarray(mask), 2
+    )
+    out_f32 = segment_mean_csr(
+        jnp.asarray(vals), jnp.asarray(src), jnp.asarray(mask), 2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_bf16, np.float32), np.asarray(out_f32), atol=1e-3
+    )
+
+    # And the mean of ones with ONE odd value out: divisor must be 1000.
+    vals2 = np.zeros((deg, 4), np.float32)
+    vals2[0] = 1000.0  # sum exactly 1000 (representable in bf16)
+    out2 = segment_mean_csr(
+        jnp.asarray(vals2, jnp.bfloat16), jnp.asarray(src), jnp.asarray(mask), 2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2, np.float32)[0], 1.0, rtol=1e-2
+    )
