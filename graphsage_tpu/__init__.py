@@ -19,6 +19,12 @@ Top-level re-exports cover the common surface; submodules hold the rest:
 from graphsage_tpu.data.graph import Graph, build_graph
 from graphsage_tpu.data.loaders import load_cora, load_pubmed
 from graphsage_tpu.models.graphsage import GraphSAGE, SAGEParams
+from graphsage_tpu.parallel.distributed import ShardedTrainer
+from graphsage_tpu.parallel.feature_store import (
+    FullyShardedTrainer,
+    ShardedFeatureTrainer,
+)
+from graphsage_tpu.parallel.mesh import make_mesh
 from graphsage_tpu.train.config import ExperimentConfig, ModelConfig, TrainConfig
 from graphsage_tpu.train.experiments import run_cora, run_preset, run_pubmed
 from graphsage_tpu.train.full_graph import FullGraphTrainer
@@ -38,6 +44,10 @@ __all__ = [
     "TrainConfig",
     "Trainer",
     "FullGraphTrainer",
+    "ShardedTrainer",
+    "ShardedFeatureTrainer",
+    "FullyShardedTrainer",
+    "make_mesh",
     "TrainState",
     "run_cora",
     "run_pubmed",
