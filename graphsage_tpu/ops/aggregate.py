@@ -68,15 +68,19 @@ def segment_mean_csr(
     """Per-destination mean of per-edge ``values[E_pad, F]`` grouped by
     ``edge_src`` (COO rows). Padding edges (``edge_mask=False``) contribute 0.
     """
-    w = edge_mask.astype(values.dtype)
-    summed = jax.ops.segment_sum(values * w[:, None], edge_src, num_segments=num_nodes)
-    # Counts accumulate in f32 regardless of compute dtype: a bf16
-    # scatter-add saturates at 256 (256+1 rounds back to 256), silently
-    # wrecking hub-row divisors on power-law graphs.
-    counts = jax.ops.segment_sum(
-        edge_mask.astype(jnp.float32), edge_src, num_segments=num_nodes
+    # BOTH accumulators run in f32 regardless of compute dtype: a bf16
+    # scatter-add saturates once the running sum exceeds ~256x the addend
+    # scale (256+1 rounds back to 256) — counts would wreck hub-row
+    # divisors, and same-sign hub numerators (ReLU activations) would
+    # stall the same way. Inputs/outputs stay in the compute dtype; only
+    # the reduction is widened.
+    w32 = edge_mask.astype(jnp.float32)
+    summed = jax.ops.segment_sum(
+        values.astype(jnp.float32) * w32[:, None], edge_src,
+        num_segments=num_nodes,
     )
-    mean = summed.astype(jnp.float32) / jnp.maximum(counts, 1.0)[:, None]
+    counts = jax.ops.segment_sum(w32, edge_src, num_segments=num_nodes)
+    mean = summed / jnp.maximum(counts, 1.0)[:, None]
     return mean.astype(values.dtype)
 
 

@@ -142,14 +142,17 @@ def _bucketed_pass(x: jax.Array, plan: BucketedPlan, normalize: bool) -> jax.Arr
             acc = acc / jnp.maximum(deg, 1.0)[:, None].astype(x.dtype)
         parts.append(acc)
     if plan.hub_deg is not None:
+        # Hub rows sum up to max-degree addends: accumulate f32 so a bf16
+        # same-sign sum cannot saturate (ELL buckets are capped at <=256
+        # addends and stay in the compute dtype).
         hub = jax.ops.segment_sum(
-            jnp.take(x, plan.hub_edge_src, axis=0),
+            jnp.take(x, plan.hub_edge_src, axis=0).astype(jnp.float32),
             plan.hub_edge_row,
             num_segments=plan.hub_deg.shape[0],
         )
         if normalize:
-            hub = hub / plan.hub_deg[:, None].astype(x.dtype)
-        parts.append(hub)
+            hub = hub / plan.hub_deg[:, None]
+        parts.append(hub.astype(x.dtype))
     stacked = jnp.concatenate(parts, axis=0)
     return jnp.take(stacked, plan.inv_perm, axis=0)
 

@@ -56,16 +56,17 @@ def sharded_spmm_mean(
 
     def local(feats, src, dst, mask):
         src, dst, mask = src[0], dst[0], mask[0]
-        w = mask.astype(feats.dtype)
-        per_edge = jnp.take(feats, dst, axis=0) * w[:, None]
+        # f32 accumulation end to end (segment sums AND the cross-shard
+        # psum): bf16 scatter-adds saturate near 256x the addend scale at
+        # hub degrees — for the counts exactly, for same-sign numerators
+        # progressively. Gather/compute stay in the compute dtype.
+        w32 = mask.astype(jnp.float32)
+        per_edge = jnp.take(feats, dst, axis=0).astype(jnp.float32) * w32[:, None]
         summed = jax.ops.segment_sum(per_edge, src, num_segments=num_nodes)
-        # f32 counts: bf16 scatter-adds saturate at 256 (hub degrees).
-        count = jax.ops.segment_sum(
-            mask.astype(jnp.float32), src, num_segments=num_nodes
-        )
+        count = jax.ops.segment_sum(w32, src, num_segments=num_nodes)
         summed = jax.lax.psum(summed, axis)
         count = jax.lax.psum(count, axis)
-        mean = summed.astype(jnp.float32) / jnp.maximum(count, 1.0)[:, None]
+        mean = summed / jnp.maximum(count, 1.0)[:, None]
         return mean.astype(feats.dtype), count
 
     return shard_map(

@@ -462,19 +462,22 @@ class ShardedFeatureTrainer(Trainer):
         return jax.lax.scan(body, state, seeds_all)
 
     # ------------------------------------------------------------------ eval
-    def _eval_logits_sharded(self, params, feature_shards, graph, seeds):
+    def _eval_logits_sharded(self, params, feature_shards, graph, seeds,
+                             mode=None):
         """Sampled eval logits through the node-sharded gather (same
         machinery as the training step, fixed key — the reference's
-        sampled-eval observable without replicating the table)."""
+        sampled-eval observable without replicating the table). ``mode``
+        overrides the trainer's gather mode (the dense fallback path)."""
         import dataclasses as _dc
 
+        mode = mode or self.gather_mode
         fanouts = self.cfg.eval_fanouts or self.model.fanouts
         model = _dc.replace(self.model, fanouts=tuple(fanouts))
         frontier = model.sample(
             jax.random.PRNGKey(self.cfg.seed + 7), graph, seeds
         )
         gather_fn, gather_mean_fn = make_sharded_gather_fns(
-            self.axis, mode=self.gather_mode,
+            self.axis, mode=mode,
             num_shards=self.mesh.shape[self.axis], slack=self.capacity_slack,
         )
 
@@ -482,7 +485,7 @@ class ShardedFeatureTrainer(Trainer):
             local = Frontier(ids=f_ids, masks=f_masks)
             violated = (
                 self._local_sites_violated(local, model)  # eval fanouts
-                if self.gather_mode == "compact"
+                if mode == "compact"
                 else jnp.zeros((), bool)
             )
             logits = model.forward(
@@ -518,14 +521,30 @@ class ShardedFeatureTrainer(Trainer):
         seeds = np.concatenate([nodes, np.zeros(pad, nodes.dtype)])
         if self._jit_eval_logits is None:
             self._jit_eval_logits = jax.jit(self._eval_logits_sharded)
+            self._jit_eval_logits_dense = None
+        seeds_dev = jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl)
         logits, violated = self._jit_eval_logits(
-            state.params, self.feature_shards, self._graph_nofeat,
-            jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl),
+            state.params, self.feature_shards, self._graph_nofeat, seeds_dev
         )
         if bool(violated):
-            raise ValueError(
+            # Never fail a finished run over an eval-frontier shape: redo
+            # this batch through the DENSE exchange (exact for any id
+            # distribution) and tell the user to raise capacity_slack.
+            import functools as _ft
+            import warnings
+
+            warnings.warn(
                 "compact sharded-gather capacity exceeded during eval; "
-                "increase capacity_slack or use gather_mode='dense'"
+                "falling back to the dense exchange for this batch — "
+                "increase capacity_slack to keep eval on the compact path"
+            )
+            if self._jit_eval_logits_dense is None:
+                self._jit_eval_logits_dense = jax.jit(
+                    _ft.partial(self._eval_logits_sharded, mode="dense")
+                )
+            logits, _ = self._jit_eval_logits_dense(
+                state.params, self.feature_shards, self._graph_nofeat,
+                seeds_dev,
             )
         return np.asarray(jnp.argmax(logits, axis=-1))[: len(nodes)]
 
@@ -816,8 +835,10 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
         )
         if bool(violated):
             raise ValueError(
-                "distributed-sampling request capacity exceeded this step; "
-                "increase capacity_slack"
+                "distributed-sampling/gather request capacity exceeded this "
+                "step; increase capacity_slack (FullyShardedTrainer is "
+                "always compact — there is no dense mode for the sharded "
+                "adjacency)"
             )
         return state, loss
 

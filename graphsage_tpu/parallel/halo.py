@@ -584,14 +584,15 @@ def _halo_aggregate(
 
     def seg(buf, row, slot, mask):
         if op == "sum":
-            w = mask.astype(h_local.dtype)
-            vals = jnp.take(buf, slot, axis=0) * w[:, None]
+            # f32 accumulation for sums AND counts: bf16 scatter-adds
+            # saturate near 256x the addend scale at hub degrees (counts
+            # exactly; same-sign numerators progressively).
+            w32 = mask.astype(jnp.float32)
+            vals = jnp.take(buf, slot, axis=0).astype(jnp.float32) * w32[:, None]
             red = jax.ops.segment_sum(vals, row, num_segments=np_)
         else:
             vals = jnp.where(mask[:, None], jnp.take(buf, slot, axis=0), neg)
             red = jax.ops.segment_max(vals, row, num_segments=np_)
-        # f32 counts regardless of compute dtype: bf16 scatter-adds
-        # saturate at 256, wrecking hub-row mean divisors.
         cnt = jax.ops.segment_sum(
             mask.astype(jnp.float32), row, num_segments=np_
         )
@@ -599,7 +600,7 @@ def _halo_aggregate(
 
     combine = (lambda a, b: a + b) if op == "sum" else jnp.maximum
     empty = (
-        jnp.zeros((np_, f), h_local.dtype)
+        jnp.zeros((np_, f), jnp.float32)  # f32 running sum (see seg())
         if op == "sum"
         else jnp.full((np_, f), neg, h_local.dtype)
     )
@@ -649,9 +650,7 @@ def _halo_aggregate(
             count = count + c
 
     if op == "sum":
-        out = (
-            acc.astype(jnp.float32) / jnp.maximum(count, 1.0)[:, None]
-        ).astype(h_local.dtype)
+        out = (acc / jnp.maximum(count, 1.0)[:, None]).astype(h_local.dtype)
     else:
         out = jnp.where((count > 0)[:, None], acc, jnp.zeros_like(acc))
     return out[None], count[None]

