@@ -81,6 +81,80 @@ def _measure(graph, model, batch, steps_per_block, blocks):
     }
 
 
+def _measure_sharded(graph, model, batch, steps_per_block, blocks, mode,
+                     slack=4.0):
+    """Sharded-trainer step time on a ``{data: 1}`` mesh (single real chip):
+    validates that the shard_map/all_to_all/psum_scatter machinery compiles
+    and runs on the TPU backend, and measures its dispatch overhead vs the
+    plain step (round-2 VERDICT item 3). ``mode``: "dense" | "compact"
+    (ShardedFeatureTrainer) | "fully" (FullyShardedTrainer). The payloads
+    are threaded as jit ARGS (closure constants would constant-fold)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphsage_tpu.parallel.feature_store import (
+        FullyShardedTrainer,
+        ShardedFeatureTrainer,
+    )
+    from graphsage_tpu.parallel.mesh import make_mesh
+    from graphsage_tpu.train.config import TrainConfig
+
+    mesh = make_mesh({"data": 1})
+    cfg = TrainConfig(batch_size=batch, num_steps=1, log_every=0)
+    if mode == "fully":
+        tr = FullyShardedTrainer(model, graph, cfg, mesh, capacity_slack=slack)
+
+        def block(state, fs, adj, seeds_all):
+            def body(st, seeds):
+                st, loss, _ = tr._fully_sharded_step(st, fs, adj, seeds)
+                return st, loss
+
+            return jax.lax.scan(body, state, seeds_all)
+
+        args = (tr.feature_shards, tr.adjacency_shards)
+    else:
+        tr = ShardedFeatureTrainer(model, graph, cfg, mesh, gather_mode=mode,
+                                   capacity_slack=slack)
+
+        def block(state, fs, g, seeds_all):
+            def body(st, seeds):
+                st, loss, _ = tr._sharded_step(st, fs, g, seeds)
+                return st, loss
+
+            return jax.lax.scan(body, state, seeds_all)
+
+        args = (tr.feature_shards, tr._graph_nofeat)
+
+    frontier = model.sample(jax.random.PRNGKey(0), graph,
+                            jnp.zeros(batch, jnp.int32))
+    edges_per_step = frontier.sampled_edges()
+    batch_iter = tr.batches()
+    seeds_blocks = [
+        jnp.asarray(
+            np.stack([next(batch_iter) for _ in range(steps_per_block)]),
+            jnp.int32,
+        )
+        for _ in range(blocks + 1)
+    ]
+    block_jit = jax.jit(block)
+    state = tr.init_state()
+    state, losses = block_jit(state, *args, seeds_blocks[0])
+    np.asarray(losses)
+    times = []
+    for b in range(1, blocks + 1):
+        t0 = time.perf_counter()
+        state, losses = block_jit(state, *args, seeds_blocks[b])
+        np.asarray(losses)  # completion barrier
+        times.append(time.perf_counter() - t0)
+    sec_per_step = min(times) / steps_per_block
+    return {
+        "edges_per_step": edges_per_step,
+        "sec_per_step": sec_per_step,
+        "edges_per_s": edges_per_step / sec_per_step,
+        "final_loss": float(np.asarray(losses)[-1]),
+    }
+
+
 def _measure_full_batch(graph, model, steps_per_block, blocks):
     """Full-batch (num_sample=None) training throughput: every step
     aggregates ALL edges once per layer via the degree-bucketed scatter-free
@@ -141,9 +215,14 @@ def main() -> None:
         batch=1024, steps_per_block=200, blocks=2,
     )
 
+    # Power-law rows carry homophily=0.8 from round 3 on, so the learning
+    # floors below are meaningful (with label-random edges the shipped
+    # pure-neighbor-mean mode cannot beat chance and a broken-convergence
+    # regression would be invisible). Sampling/aggregation work per step is
+    # shape-identical; throughput rows stay comparable to r1/r2.
     powerlaw = _measure(
         power_law_graph(num_nodes=100_000, num_edges=1_000_000, num_feats=128,
-                        num_classes=16, seed=0),
+                        num_classes=16, seed=0, homophily=0.8),
         GraphSAGE(in_dim=128, num_classes=16, hidden_dims=(128, 128), fanouts=(10, 10)),
         batch=1024, steps_per_block=200, blocks=2,
     )
@@ -152,20 +231,21 @@ def main() -> None:
 
     # BASELINE config #5 shape: Reddit-scale (232K nodes, ~11.6M directed
     # slots, 602 feats, 41 classes), bf16 table + compute.
-    reddit = _measure(
-        power_law_graph(num_nodes=232_965, num_edges=5_800_000, num_feats=602,
-                        num_classes=41, seed=0, feature_dtype=jnp.bfloat16),
-        GraphSAGE(in_dim=602, num_classes=41, hidden_dims=(128, 128),
-                  fanouts=(10, 25), compute_dtype=jnp.bfloat16),
-        batch=512, steps_per_block=100, blocks=2,
+    reddit_graph = power_law_graph(
+        num_nodes=232_965, num_edges=5_800_000, num_feats=602,
+        num_classes=41, seed=0, feature_dtype=jnp.bfloat16, homophily=0.8,
     )
+    reddit_model = GraphSAGE(in_dim=602, num_classes=41, hidden_dims=(128, 128),
+                             fanouts=(10, 25), compute_dtype=jnp.bfloat16)
+    reddit = _measure(reddit_graph, reddit_model,
+                      batch=512, steps_per_block=100, blocks=2)
 
     # BASELINE config #4 at full scale: 1M nodes / 20M directed slots,
     # 3-layer mean.
     powerlaw_1m = _measure(
         power_law_graph(num_nodes=1_000_000, num_edges=10_000_000,
                         num_feats=256, num_classes=32, seed=0,
-                        feature_dtype=jnp.bfloat16),
+                        feature_dtype=jnp.bfloat16, homophily=0.8),
         GraphSAGE(in_dim=256, num_classes=32, hidden_dims=(256, 256, 256),
                   fanouts=(5, 10, 15), compute_dtype=jnp.bfloat16),
         batch=4096, steps_per_block=50, blocks=2,
@@ -176,11 +256,82 @@ def main() -> None:
     # num_sample=None training capability at scale).
     fullbatch = _measure_full_batch(
         power_law_graph(num_nodes=100_000, num_edges=1_000_000, num_feats=128,
-                        num_classes=16, seed=0),
+                        num_classes=16, seed=0, homophily=0.8),
         GraphSAGE(in_dim=128, num_classes=16, hidden_dims=(128, 128),
                   fanouts=(None, None)),
         steps_per_block=10, blocks=3,
     )
+
+    # Sharded trainers on the real chip ({data:1} mesh — round-2 VERDICT
+    # item 3): proves the shard_map/all_to_all/psum_scatter paths compile
+    # and run on this backend, and measures their overhead vs the plain
+    # step. The S=8 communication volumes (the quantity multi-chip time
+    # would be spent on) come from sharded_comm_stats.
+    from graphsage_tpu.parallel.feature_store import sharded_comm_stats
+
+    cora_graph = synthetic_cora_graph(2708, 1433, 5429, 7, seed=0)
+    cora_model = GraphSAGE(in_dim=1433, num_classes=7, hidden_dims=(128, 128),
+                           fanouts=(10, 10))
+    sharded_rows = {}
+    for mode in ("dense", "compact", "fully"):
+        sharded_rows[mode] = _measure_sharded(
+            cora_graph, cora_model, batch=256, steps_per_block=200, blocks=2,
+            mode=mode,
+        )
+        sharded_rows[mode]["overhead_vs_plain_step_ms"] = round(
+            (sharded_rows[mode]["sec_per_step"] - cora["sec_per_step"]) * 1e3, 4
+        )
+    comm_s8 = sharded_comm_stats(cora_model, 256, 8, fully_sharded=True)
+
+    # Shared-table layer-0 on the Pubmed-intent shape (ROOFLINE §5.1): the
+    # full-graph CSR layer 0 replaces 256K sampled deepest-hop rows with
+    # 89K scatter-free edge slots. Denominator counts the edges actually
+    # aggregated (sampled hops + one full pass).
+    pubmed_graph = synthetic_pubmed_graph(19717, 500, 44338, 3, seed=0)
+    pubmed_model_full = GraphSAGE(
+        in_dim=500, num_classes=3, hidden_dims=(128, 128), fanouts=(10, 25),
+        layer0="full",
+    )
+    pubmed_l0 = _measure(pubmed_graph, pubmed_model_full,
+                         batch=1024, steps_per_block=200, blocks=2)
+    pubmed_l0["edges_per_step"] = (
+        pubmed_l0["edges_per_step"] + pubmed_graph.num_edges
+    )
+    pubmed_l0["edges_per_s"] = (
+        pubmed_l0["edges_per_step"] / pubmed_l0["sec_per_step"]
+    )
+
+    # Learning floors (round-2 VERDICT item 8): a perf "win" that broke
+    # convergence must not produce a green row. Envelopes are the round-3
+    # measured final losses with generous headroom; chance = ln(C).
+    floors = {
+        "cora": 0.05,                # measured ~2e-4; ln(7)=1.95
+        "pubmed_intent_fanout_10_25": 0.2,   # measured ~7e-3; ln(3)=1.10
+        "powerlaw_100k_nodes_1m_undirected_2m_slots": 1.6,  # ln(16)=2.77
+        "reddit_232k_nodes_11m_slots_fanout_10_25": 3.0,    # ln(41)=3.71
+        "powerlaw_1m_nodes_20m_slots_3layer": 3.2,          # ln(32)=3.47
+        "fullbatch_powerlaw_100k_2m_slots_2layer": 2.2,     # ln(16)=2.77
+        "pubmed_layer0_full": 0.2,
+    }
+    rows = {
+        "cora": cora,
+        "pubmed_intent_fanout_10_25": pubmed,
+        # 1M undirected input edges -> ~2M directed slots post-mirroring
+        "powerlaw_100k_nodes_1m_undirected_2m_slots": powerlaw,
+        "reddit_232k_nodes_11m_slots_fanout_10_25": reddit,
+        "powerlaw_1m_nodes_20m_slots_3layer": powerlaw_1m,
+        "fullbatch_powerlaw_100k_2m_slots_2layer": fullbatch,
+        "pubmed_layer0_full": pubmed_l0,
+        "cora_sharded_feature_dense_1chip": sharded_rows["dense"],
+        "cora_sharded_feature_compact_1chip": sharded_rows["compact"],
+        "cora_fully_sharded_1chip": sharded_rows["fully"],
+    }
+    violations = []
+    for name, floor in floors.items():
+        fl = rows[name]["final_loss"]
+        if not np.isfinite(fl) or fl > floor:
+            violations.append({"config": name, "final_loss": fl,
+                               "max_final_loss": floor})
 
     edges_per_s = cora["edges_per_s"]
     print(
@@ -191,28 +342,22 @@ def main() -> None:
                 "unit": "edges/s",
                 "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 2),
                 "detail": {
-                    "cora": {k: round(v, 8) for k, v in cora.items()},
-                    "pubmed_intent_fanout_10_25": {
-                        k: round(v, 8) for k, v in pubmed.items()
+                    **{
+                        name: {k: round(v, 8) for k, v in row.items()}
+                        for name, row in rows.items()
                     },
-                    # 1M undirected input edges -> ~2M directed slots post-mirroring
-                    "powerlaw_100k_nodes_1m_undirected_2m_slots": {
-                        k: round(v, 8) for k, v in powerlaw.items()
-                    },
-                    "reddit_232k_nodes_11m_slots_fanout_10_25": {
-                        k: round(v, 8) for k, v in reddit.items()
-                    },
-                    "powerlaw_1m_nodes_20m_slots_3layer": {
-                        k: round(v, 8) for k, v in powerlaw_1m.items()
-                    },
-                    "fullbatch_powerlaw_100k_2m_slots_2layer": {
-                        k: round(v, 8) for k, v in fullbatch.items()
-                    },
+                    "sharded_comm_volume_s8_cora": comm_s8,
+                    "learning_floor_violations": violations,
                     "device": str(jax.devices()[0]),
                 },
             }
         )
     )
+    if violations:
+        import sys
+
+        print(f"LEARNING FLOOR VIOLATED: {violations}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

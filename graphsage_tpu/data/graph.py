@@ -80,6 +80,31 @@ class Graph:
             f"C={self.num_classes}, E={self.num_edges}, max_deg={self.max_degree})"
         )
 
+    # ------------------------------------------------------------- placement
+    @property
+    def on_host(self) -> bool:
+        """True when the array leaves are host numpy arrays (no device
+        buffers). Host graphs are what the node-sharded trainers want: they
+        slice features/adjacency on the host and place only the per-chip
+        shards, so no device ever holds a full ``[N, F]`` table."""
+        return isinstance(self.features, np.ndarray)
+
+    def to_device(self, sharding=None) -> "Graph":
+        """Place every array leaf on device (optionally with ``sharding``).
+
+        One transfer per leaf; metadata is static and travels for free."""
+        put = (
+            (lambda a: jax.device_put(a, sharding))
+            if sharding is not None
+            else jnp.asarray
+        )
+        return jax.tree_util.tree_map(put, self)
+
+    def to_host(self) -> "Graph":
+        """Copy every array leaf back to host numpy (frees device buffers
+        once the device-side references drop)."""
+        return jax.tree_util.tree_map(lambda a: np.asarray(a), self)
+
 
 def sorted_unique_edges(
     num_nodes: int,
@@ -142,6 +167,7 @@ def build_graph(
     edge_pad_multiple: int = 128,
     feature_dtype: jnp.dtype = jnp.float32,
     ell_width_cap: int = 256,
+    placement: str = "device",
 ) -> Graph:
     """Construct a :class:`Graph` from host-side numpy data.
 
@@ -151,7 +177,16 @@ def build_graph(
     ELL table's width — rows longer than the cap keep their full neighbor
     lists in CSR, and the sampler's CSR path stays uniform over them
     (``ell_covers_all`` records whether any row overflowed).
+
+    ``placement="device"`` puts every leaf on the default device (the
+    single-chip trainers' layout — the reference's resident ``nn.Embedding``
+    role, model.py:70-71). ``placement="host"`` keeps numpy leaves: the
+    node-sharded trainers consume host graphs directly, placing only each
+    chip's ``N/S`` slice so no full-table device buffer ever exists
+    (use :meth:`Graph.to_device` to place a host graph explicitly).
     """
+    if placement not in ("device", "host"):
+        raise ValueError(f"unknown placement {placement!r}")
     features = np.asarray(features)
     labels = np.asarray(labels).reshape(-1).astype(np.int32)
     num_nodes, num_features = features.shape
@@ -203,15 +238,16 @@ def build_graph(
     if num_edges < e_pad and num_nodes:
         edge_src[num_edges:] = num_nodes - 1
 
+    mk = np.asarray if placement == "host" else jnp.asarray
     return Graph(
-        neighbors=jnp.asarray(ell),
-        degrees=jnp.asarray(true_degrees),
-        indptr=jnp.asarray(indptr),
-        edge_dst=jnp.asarray(edge_dst),
-        edge_src=jnp.asarray(edge_src),
-        edge_mask=jnp.asarray(edge_mask),
-        features=jnp.asarray(features, dtype=feature_dtype),
-        labels=jnp.asarray(labels),
+        neighbors=mk(ell),
+        degrees=mk(true_degrees),
+        indptr=mk(indptr),
+        edge_dst=mk(edge_dst),
+        edge_src=mk(edge_src),
+        edge_mask=mk(edge_mask),
+        features=mk(np.asarray(features).astype(feature_dtype, copy=False)),
+        labels=mk(labels),
         num_nodes=num_nodes,
         num_features=num_features,
         num_classes=int(num_classes),

@@ -197,6 +197,7 @@ def power_law_graph(
     max_degree: int | None = None,
     feature_dtype=None,
     homophily: float = 0.0,
+    placement: str = "device",
 ) -> Graph:
     """In-memory synthetic power-law graph (preferential-attachment style).
 
@@ -254,5 +255,5 @@ def power_law_graph(
     kwargs = {} if feature_dtype is None else {"feature_dtype": feature_dtype}
     return build_graph(
         features, labels, edges, num_classes=num_classes,
-        undirected=True, max_degree=max_degree, **kwargs,
+        undirected=True, max_degree=max_degree, placement=placement, **kwargs,
     )

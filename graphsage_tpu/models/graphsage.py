@@ -116,12 +116,35 @@ class GraphSAGE:
     # Full-graph SpMM backend: "auto" | "xla" | "pallas_vmem" — see
     # graphsage_tpu.ops.aggregate.spmm_mean.
     spmm_impl: str = "auto"
+    # Layer-0 execution mode for the SAMPLED forward:
+    #   "sampled" — per-hop frontier sampling all the way down (default;
+    #     dedup-free recompute, B * prod(fanouts) deepest-hop rows).
+    #   "full"    — the shared-table escape from the backward scatter floor
+    #     (ROOFLINE §5.1): layer 0 runs ONCE over ALL nodes with complete
+    #     neighborhoods (the CSR spmm path — scatter-free backward when the
+    #     adjacency is symmetric), producing an [N, d0] table the upper
+    #     layers gather from; the deepest sampling hop disappears
+    #     (fanouts[0] is unused). This also matches the reference's own
+    #     set.union dedup semantics (reference aggregators.py:50-51): each
+    #     node's layer-0 activation is computed once, not once per frontier
+    #     occurrence — identical to "sampled" at covering fanouts
+    #     (test-pinned), a lower-variance estimator below them. Wins when
+    #     num_edges < B * prod(fanouts) (Pubmed-shape: 89K vs 256K rows);
+    #     single-chip/replicated trainers only (the distributed analog is
+    #     the halo FullGraphTrainer).
+    layer0: str = "sampled"
 
     def __post_init__(self):
         if len(self.hidden_dims) != len(self.fanouts):
             raise ValueError("hidden_dims and fanouts must have one entry per layer")
         if self.self_loop and self.concat_self:
             raise ValueError("self_loop and concat_self are mutually exclusive")
+        if self.layer0 not in ("sampled", "full"):
+            raise ValueError(f"unknown layer0 mode {self.layer0!r}")
+        if self.layer0 == "full" and self.aggregator != "mean":
+            raise ValueError(
+                "layer0='full' currently supports the mean aggregator only"
+            )
 
     @property
     def num_layers(self) -> int:
@@ -159,13 +182,17 @@ class GraphSAGE:
 
     # -------------------------------------------------------------- sample
     def sample(self, key: jax.Array, graph: Graph, seeds: jax.Array) -> Frontier:
-        """Expand seed nodes into per-hop frontiers (static shapes)."""
+        """Expand seed nodes into per-hop frontiers (static shapes).
+
+        With ``layer0="full"`` the deepest hop is skipped — layer 0 runs
+        full-graph, so the frontier stops at the hop layer 1 consumes."""
         seeds = seeds.reshape(-1)
         ids: list[jax.Array] = [seeds]
         masks: list[jax.Array] = [jnp.ones(seeds.shape, dtype=bool)]
         L = self.num_layers
-        hop_keys = jax.random.split(key, L)
-        for h in range(1, L + 1):
+        hops = L - 1 if self.layer0 == "full" else L
+        hop_keys = jax.random.split(key, max(hops, 1))
+        for h in range(1, hops + 1):
             fanout = self.fanouts[L - h]
             parent_ids, parent_mask = ids[-1], masks[-1]
             nids, nmask = sample_neighbors(
@@ -193,9 +220,14 @@ class GraphSAGE:
         *,
         gather_fn=None,
         gather_mean_fn=None,
+        graph: Graph | None = None,
     ) -> jax.Array:
         """Logits ``[B, num_classes]`` for the frontier's seed batch
         (or the pre-head representations with ``return_embeddings``).
+
+        ``graph`` supplies the adjacency for ``layer0="full"`` (the
+        shared-table layer-0 runs a full-graph CSR layer before gathering);
+        the sampled default ignores it.
 
         ``gather_fn(table, ids, mask)`` / ``gather_mean_fn(table, ids, mask)``
         (``mask`` marks padded frontier slots whose rows are
@@ -217,7 +249,38 @@ class GraphSAGE:
             )
         L = self.num_layers
         start_l = 0
-        if self.aggregator == "mean":
+        if self.layer0 == "full":
+            # Shared-table layer 0: one full-graph CSR layer over ALL nodes
+            # (scatter-free backward on symmetric adjacency), then the upper
+            # layers gather hop rows from the [N, d0] table. See the layer0
+            # field docstring for when this wins and the estimator note.
+            if graph is None:
+                raise ValueError(
+                    "layer0='full' needs forward(..., graph=...) — the "
+                    "full-graph layer 0 reads the CSR adjacency"
+                )
+
+            def spmm(x):
+                mean = spmm_mean(
+                    x, graph.edge_src, graph.edge_dst, graph.edge_mask,
+                    graph.num_nodes, indptr=graph.indptr, impl=self.spmm_impl,
+                    symmetric=graph.symmetric,
+                )
+                return mean, graph.degrees
+
+            h0 = features
+            if self.compute_dtype is not None:
+                h0 = h0.astype(self.compute_dtype)
+            table = apply_full_graph_mean_layer(
+                params.layers[0], h0, spmm,
+                concat_self=self.concat_self,
+                self_loop=self.self_loop,
+                project_first=self.use_project_first(0, self.in_dim),
+                precision=self.matmul_precision,
+            )
+            h = gather_fn(table, frontier.ids[L - 1], frontier.masks[L - 1])
+            start_l = 1
+        elif self.aggregator == "mean":
             # Fused deepest-hop aggregation: the raw-feature gather + masked
             # mean collapse into one op (Pallas one-hot matmul on TPU) —
             # layer 0 then only combines + projects.
@@ -321,7 +384,7 @@ class GraphSAGE:
     ) -> jax.Array:
         """sample + forward in one call (training/eval hot path)."""
         frontier = self.sample(key, graph, seeds)
-        return self.forward(params, graph.features, frontier)
+        return self.forward(params, graph.features, frontier, graph=graph)
 
     # ------------------------------------------------------------ embeddings
     def embed(
@@ -333,7 +396,8 @@ class GraphSAGE:
         embeddings of every node use :meth:`embed_full_graph`."""
         frontier = self.sample(key, graph, seeds)
         return self.forward(
-            params, graph.features, frontier, return_embeddings=True
+            params, graph.features, frontier, return_embeddings=True,
+            graph=graph,
         )
 
     def embed_full_graph(self, params: SAGEParams, graph: Graph) -> jax.Array:
@@ -417,11 +481,12 @@ class GraphSAGE:
         *,
         gather_fn=None,
         gather_mean_fn=None,
+        graph: Graph | None = None,
     ) -> jax.Array:
         """Mean softmax cross-entropy (reference model.py:35-37)."""
         logits = self.forward(
             params, features, frontier,
-            gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
+            gather_fn=gather_fn, gather_mean_fn=gather_mean_fn, graph=graph,
         )
         return optax.softmax_cross_entropy_with_integer_labels(
             logits, labels.reshape(-1)

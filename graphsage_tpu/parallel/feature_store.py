@@ -25,11 +25,15 @@ Design (TPU-first, static shapes end to end):
   transpose is all_gather <-> psum_scatter with a scatter-add into the
   local shard, which is exactly the backward the feature/projection
   gradient needs.
-* Communication per chip per layer-0 gather: ``(S-1)/S * q * F`` ring hops
-  for the row payload (q = per-chip frontier size) plus the negligible id
-  all_gather. With ``project_first`` the table is projected shard-locally
-  on the MXU first, so the exchanged rows are d_out-wide (128 vs 1433 on
-  Cora — the same 4-11x saving as single-chip).
+* Communication per chip per layer-0 gather: the ``psum_scatter`` reduces
+  an ``[S, q, F]`` partials array, which moves ``(S-1) * q * F`` elements
+  per chip over the ring (q = per-chip frontier size; every non-owned
+  partial is a shipped zero row) plus the negligible id all_gather. The
+  compact exchange below cuts this to ``(S-1) * capacity * F`` (ids out —
+  4-byte scalars, rows back) — ``q / capacity ~= S / slack`` times less. With
+  ``project_first`` the table is projected shard-locally on the MXU first,
+  so the exchanged rows are d_out-wide (128 vs 1433 on Cora — the same
+  4-11x saving as single-chip).
 
 The dense-partials formulation ships zeros for rows a chip does not own
 (factor ~S vs a perfectly compacted route-by-owner all_to_all), but it is
@@ -239,6 +243,117 @@ def request_capacity(q_local: int, num_shards: int, slack: float = 1.5) -> int:
     return _round_up(max(int(base * slack), 8), 8)
 
 
+def compact_sites(model: GraphSAGE, frontier) -> list:
+    """(ids, mask) per feature-table lookup call site of ``model``'s
+    forward — mirrors GraphSAGE.forward's branches so the capacity check
+    (and the comm-volume report) sees exactly the requests the compact
+    exchange will route."""
+    L = model.num_layers
+    sites = []
+    if model.aggregator == "mean":
+        n_out = frontier.ids[L - 1].shape[0]
+        k_cols = frontier.ids[L].shape[0] // n_out
+        ids2 = frontier.ids[L].reshape(n_out, k_cols)
+        m2 = frontier.masks[L].reshape(n_out, k_cols)
+        if model.concat_self:
+            sites.append((ids2[:, 1:], m2[:, 1:]))
+            sites.append((frontier.ids[L - 1], frontier.masks[L - 1]))
+        else:
+            sites.append((ids2, m2))
+    else:
+        sites.append((frontier.ids[L], frontier.masks[L]))
+    return sites
+
+
+def _frontier_slot_sizes(model: GraphSAGE, b_local: int) -> list[int]:
+    """Per-hop frontier slot counts for a ``b_local``-seed shard — the
+    static shapes :meth:`GraphSAGE.sample` produces, computed without
+    tracing (integer fanouts only)."""
+    L = model.num_layers
+    sizes = [b_local]
+    for h in range(1, L + 1):
+        k = model.fanouts[L - h]
+        if k is None:
+            raise ValueError(
+                "comm stats need integer fanouts (fanout=None means "
+                "full-neighborhood width, which the sharded sampled "
+                "trainers do not run)"
+            )
+        k_eff = k + 1 if (model.concat_self or model.self_loop) else k
+        sizes.append(sizes[-1] * k_eff)
+    return sizes
+
+
+def sharded_comm_stats(
+    model: GraphSAGE,
+    batch_size: int,
+    num_shards: int,
+    feature_dtype=jnp.float32,
+    slack: float = 1.5,
+    fully_sharded: bool = False,
+) -> dict:
+    """Per-chip per-step communication VOLUME (bytes) of the sharded
+    trainers, from static shapes alone — the capacity-planning numbers the
+    dense/compact docstrings describe, concretely per configuration.
+
+    Reports both exchange modes for the feature gather sites (dense
+    ``psum_scatter`` of ``[S, q, row]`` partials vs compact request
+    routing) and, with ``fully_sharded=True``, the per-hop distributed
+    sampling traffic (ids out, sampled ids + masks back). Row width
+    accounts for project-first: when layer 0 projects before aggregating,
+    exchanged rows are ``hidden_dims[0]``-wide f32, not feature-wide.
+    """
+    if batch_size % num_shards:
+        raise ValueError("batch_size must be divisible by num_shards")
+    s = num_shards
+    b_local = batch_size // s
+    sizes = _frontier_slot_sizes(model, b_local)
+    fr = Frontier(
+        ids=tuple(np.zeros(n, np.int32) for n in sizes),
+        masks=tuple(np.ones(n, bool) for n in sizes),
+    )
+    if model.aggregator == "mean" and model.use_project_first(0, model.in_dim):
+        row_bytes = model.hidden_dims[0] * 4  # projected table is f32
+    else:
+        row_bytes = model.in_dim * jnp.dtype(feature_dtype).itemsize
+    dense = compact = 0
+    site_detail = []
+    for ids, mask in compact_sites(model, fr):
+        q = int(np.prod(ids.shape))
+        cap = request_capacity(q, s, slack)
+        d = (s - 1) * q * (row_bytes + 4)  # partial rows + id all_gather
+        c = (s - 1) * cap * (row_bytes + 4)  # answers back + ids out
+        dense += d
+        compact += c
+        site_detail.append({"q_local": q, "capacity": cap,
+                            "dense_bytes": d, "compact_bytes": c})
+    out = {
+        "num_shards": s,
+        "per_chip_frontier_slots": sizes[-1],
+        "gather_dense_bytes_per_chip_step": dense,
+        "gather_compact_bytes_per_chip_step": compact,
+        "gather_compact_vs_dense": dense / max(compact, 1),
+        "sites": site_detail,
+    }
+    if fully_sharded:
+        samp = 0
+        hop_detail = []
+        L = model.num_layers
+        for h in range(1, L + 1):
+            q_h = sizes[h - 1]
+            k = model.fanouts[L - h]
+            cap = request_capacity(q_h, s, slack)
+            # ids out (4B) ; sampled ids (4B * k) + masks (1B * k) back
+            v = (s - 1) * cap * (4 + k * 5)
+            samp += v
+            hop_detail.append({"hop": h, "q_local": q_h, "capacity": cap,
+                               "bytes": v})
+        out["sampling_bytes_per_chip_step"] = samp
+        out["sampling_hops"] = hop_detail
+        out["total_compact_bytes_per_chip_step"] = compact + samp
+    return out
+
+
 def make_sharded_gather_fns(
     axis: str,
     mode: str = "dense",
@@ -291,9 +406,18 @@ class ShardedFeatureTrainer(Trainer):
     the cross-shard layer-0 gather, local loss, per-shard grads, gradient
     psum. Matches the single-device :class:`~graphsage_tpu.train.trainer.
     Trainer` step bit-for-math (same keys => same frontiers; allclose-pinned
-    in tests/test_feature_store.py). Evaluation (inherited) runs the
-    replicated full-graph forward — fine for validation-sized calls; the
-    memory win is for the *training* hot path.
+    in tests/test_feature_store.py).
+
+    **Memory:** pass a HOST graph (``build_graph(..., placement="host")``)
+    and after init no device buffer of the full ``[N, F]`` table exists —
+    the host table is sliced in numpy and each chip receives only its
+    ``N/S`` rows (asserted against ``jax.live_arrays()`` in
+    tests/test_feature_store.py). A device graph also works (back-compat)
+    but its resident full table defeats the accounting. With
+    ``eval_fanouts`` set, sampled eval runs through the same sharded
+    gather; the ``eval_fanouts=None`` fallback builds a TRANSIENT device
+    copy of the full graph for the deterministic full-neighborhood forward
+    and frees it on return.
     """
 
     def __init__(
@@ -308,6 +432,12 @@ class ShardedFeatureTrainer(Trainer):
     ):
         if gather_mode not in ("dense", "compact"):
             raise ValueError(f"unknown gather_mode {gather_mode!r}")
+        if model.layer0 == "full":
+            raise ValueError(
+                "layer0='full' computes a whole-table layer 0 per chip — "
+                "incompatible with node-sharded features; use the halo "
+                "FullGraphTrainer for distributed full-neighborhood layers"
+            )
         self.mesh = mesh
         self.axis = axis
         self.gather_mode = gather_mode
@@ -318,59 +448,52 @@ class ShardedFeatureTrainer(Trainer):
                 f"batch_size {config.batch_size} must be divisible by the "
                 f"{axis!r} axis size {s}"
             )
-        super().__init__(model, graph, config)
+        # The source graph (host numpy or device) feeds the host-side
+        # sharding splits and the transient full-graph eval fallback; the
+        # resident device payload is whatever _place_graph keeps.
+        self._source_graph = graph
         self._shard_sharding = NamedSharding(mesh, P(axis))
         self._repl = NamedSharding(mesh, P())
+        super().__init__(model, graph, config)
+        self._graph_nofeat = self.graph  # adjacency + labels, no feature table
         self.features = shard_features(
             graph.features, s, sharding=self._shard_sharding
         )
         self.feature_shards = self.features.shards
-        # Frontier construction reads only adjacency: blank the replicated
-        # feature payload (keep dtype/width for shape bookkeeping). The
-        # FULL graph (incl. its feature table) stays reachable via
-        # self.graph only for the inherited full-graph eval fallback — at
-        # true pod scale use eval_fanouts (sampled sharded eval) so that
-        # copy is never touched/placed.
-        self._graph_nofeat = graph.replace(
-            features=jnp.zeros((1, graph.num_features), graph.features.dtype)
-        )
         self._jit_step = jax.jit(self._sharded_step, donate_argnums=(0,))
+
+    def _place_graph(self, graph):
+        """Device payload: adjacency + labels (replicated — index data, ~4
+        B/edge). The feature leaf becomes a 1-row placeholder so no device
+        ever holds the full ``[N, F]`` table; the sharded store is the only
+        feature payload."""
+        feats = graph.features
+        blanked = graph.replace(
+            features=np.zeros((1, graph.num_features), dtype=feats.dtype)
+        )
+        return blanked.to_device()
 
     # --------------------------------------------------------------- compact
     def _compact_sites(self, frontier, model=None):
-        """(ids, mask) per table-lookup call site of the forward — mirrors
-        GraphSAGE.forward's branches so the capacity check sees exactly the
-        requests the compact exchange will route. ``model`` overrides
-        self.model (eval uses different fanouts)."""
-        model = model if model is not None else self.model
-        L = model.num_layers
-        sites = []
-        if model.aggregator == "mean":
-            n_out = frontier.ids[L - 1].shape[0]
-            k_cols = frontier.ids[L].shape[0] // n_out
-            ids2 = frontier.ids[L].reshape(n_out, k_cols)
-            m2 = frontier.masks[L].reshape(n_out, k_cols)
-            if model.concat_self:
-                sites.append((ids2[:, 1:], m2[:, 1:]))
-                sites.append((frontier.ids[L - 1], frontier.masks[L - 1]))
-            else:
-                sites.append((ids2, m2))
-        else:
-            sites.append((frontier.ids[L], frontier.masks[L]))
-        return sites
+        """See :func:`compact_sites`; ``model`` overrides self.model (eval
+        uses different fanouts)."""
+        return compact_sites(model if model is not None else self.model, frontier)
 
-    def _local_sites_violated(self, frontier, model=None):
+    def _local_sites_violated(self, frontier, model=None, slack=None):
         """True when any table-lookup call site of THIS shard's frontier
         exceeds its static compact capacity (rows would clip => abort).
         Call inside shard_map with the shard-local frontier — the sites and
         the mask-spread handling mirror the compact gather fns exactly
-        (``_compact_sites`` is the single source of both)."""
+        (``_compact_sites`` is the single source of both). ``slack``
+        overrides the trainer's capacity_slack (eval retries recompile at a
+        larger slack)."""
         s = self.mesh.shape[self.axis]
         np_ = self.features.rows_per_shard
+        slack = self.capacity_slack if slack is None else slack
         violated = jnp.zeros((), bool)
         for ids, mask in self._compact_sites(frontier, model):
             q_l = ids.size
-            cap = request_capacity(q_l, s, self.capacity_slack)
+            cap = request_capacity(q_l, s, slack)
             flat = ids.reshape(-1).astype(jnp.int32)
             if mask is not None:
                 spread = (jnp.arange(q_l, dtype=jnp.int32) % s) * np_
@@ -445,21 +568,22 @@ class ShardedFeatureTrainer(Trainer):
     def _train_block(self, state, graph, seeds_all):
         """Scanned block dispatch over the SHARDED step (the inherited block
         would fall back to the replicated-table step). ``graph`` arrives from
-        the parent's run() with the full feature leaf; only adjacency/labels
-        are read, so XLA dead-code-eliminates the replicated table.
+        the parent's run() as the no-feature device graph (adjacency +
+        labels; the feature payload is the sharded store).
 
-        A compact-mode capacity violation poisons that step's reported loss
-        to NaN (the precise abort lives in the single-step path; in scanned
-        blocks NaN is the loudest in-band signal — pair with --debug-nans).
+        Capacity violations ride out as the per-step bool lane so ``run()``
+        raises with the exact step index — a violated step's loss is still
+        the clipped-rows value, but the run aborts before acting on it.
         """
 
         def body(st, seeds):
             st, loss, violated = self._sharded_step(
                 st, self.feature_shards, graph, seeds
             )
-            return st, jnp.where(violated, jnp.nan, loss)
+            return st, (loss, violated)
 
-        return jax.lax.scan(body, state, seeds_all)
+        state, (losses, violated) = jax.lax.scan(body, state, seeds_all)
+        return state, losses, violated
 
     # ------------------------------------------------------------------ eval
     def _eval_logits_sharded(self, params, feature_shards, graph, seeds,
@@ -511,10 +635,19 @@ class ShardedFeatureTrainer(Trainer):
 
     def predict(self, state, nodes):
         """Sampled eval stays node-sharded when ``eval_fanouts`` is set;
-        otherwise falls back to the inherited replicated full-graph forward
-        (fine for validation-sized calls; documented trade)."""
+        otherwise falls back to the deterministic full-graph forward on a
+        TRANSIENT device copy of the source graph (placed for this call,
+        freed on return — no resident full table; fine for
+        validation-sized calls; documented trade)."""
         if self.cfg.eval_fanouts is None:
-            return super().predict(state, nodes)
+            nodes = np.asarray(nodes)
+            g = (
+                self._source_graph.to_device()
+                if self._source_graph.on_host
+                else self._source_graph
+            )
+            logits = self._jit_full_logits(state.params, g)
+            return np.asarray(jnp.argmax(logits, axis=-1))[nodes]
         nodes = np.asarray(nodes)
         s = self.mesh.shape[self.axis]
         pad = (-len(nodes)) % s
@@ -564,7 +697,20 @@ class ShardedFeatureTrainer(Trainer):
         return state, loss
 
     def memory_stats(self) -> dict:
-        return self.features.memory_stats()
+        """Theoretical per-chip layout PLUS measured live device bytes
+        (``jax.live_arrays()``) — the claim and the machine's answer side
+        by side. ``measured_largest_buffer_bytes`` below the full-table
+        byte count is the proof that no chip holds a whole ``[N, F]``
+        copy."""
+        from graphsage_tpu.utils.memory import live_device_bytes
+
+        measured = live_device_bytes()
+        return {
+            **self.features.memory_stats(),
+            "measured_total_device_bytes": measured["total_bytes"],
+            "measured_largest_buffer_bytes": measured["largest_buffer_bytes"],
+            "measured_per_device_bytes": measured["per_device_bytes"],
+        }
 
 
 # ---------------------------------------------------------------------------
@@ -761,6 +907,23 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
             self.adjacency.indptr, self.adjacency.edge_dst,
         )
         self._jit_step = jax.jit(self._fully_sharded_step, donate_argnums=(0,))
+        self._jit_eval_fs: dict = {}  # keyed by capacity slack (static)
+
+    def _place_graph(self, graph):
+        """Device payload: labels ONLY ([N] int32 — tiny). Feature table
+        and adjacency both become placeholders; the sharded stores built in
+        __init__ are the only graph-sized device residents (E/S edges +
+        N/S*F features per chip)."""
+        blanked = graph.replace(
+            features=np.zeros((1, graph.num_features), dtype=graph.features.dtype),
+            neighbors=np.zeros((1, 1), np.int32),
+            degrees=np.zeros((1,), np.int32),
+            indptr=np.zeros((2,), np.int32),
+            edge_dst=np.zeros((1,), np.int32),
+            edge_src=np.zeros((1,), np.int32),
+            edge_mask=np.zeros((1,), bool),
+        )
+        return blanked.to_device()
 
     def _fully_sharded_step(self, state, feature_shards, adj_leaves, seeds):
         model = self.model
@@ -824,9 +987,10 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
             st, loss, violated = self._fully_sharded_step(
                 st, self.feature_shards, self.adjacency_shards, seeds
             )
-            return st, jnp.where(violated, jnp.nan, loss)
+            return st, (loss, violated)
 
-        return jax.lax.scan(body, state, seeds_all)
+        state, (losses, violated) = jax.lax.scan(body, state, seeds_all)
+        return state, losses, violated
 
     def step(self, state, seeds):
         seeds = jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl)
@@ -842,5 +1006,95 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
             )
         return state, loss
 
+    # ------------------------------------------------------------------ eval
+    def _eval_logits_fully_sharded(
+        self, params, feature_shards, adj_leaves, seeds, slack
+    ):
+        """Sampled eval logits with DISTRIBUTED per-hop sampling — the eval
+        counterpart of ``_fully_sharded_step``. Nothing graph-sized touches
+        a replicated buffer: each hop routes frontier ids to their owner
+        shard (E/S adjacency), features ride the compact sharded gather
+        (N/S*F). Fixed key — deterministic given the seed set. The
+        replicated-sampling ``_eval_logits_sharded`` is unreachable here
+        (the resident graph's adjacency is a placeholder)."""
+        import dataclasses as _dc
+
+        axis = self.axis
+        adj = self.adjacency
+        fanouts = self.cfg.eval_fanouts or self.model.fanouts
+        model = _dc.replace(self.model, fanouts=tuple(fanouts))
+        key = jax.random.PRNGKey(self.cfg.seed + 7)
+        gather_fn, gather_mean_fn = make_sharded_gather_fns(
+            axis, mode="compact",
+            num_shards=self.mesh.shape[axis], slack=slack,
+        )
+
+        def shard_fwd(params, shard, adj_local, seeds_local):
+            frontier, violated = sharded_sample_frontier(
+                axis, model, adj, adj_local, seeds_local[0], key, slack
+            )
+            violated = violated | self._local_sites_violated(
+                frontier, model, slack=slack
+            )
+            logits = model.forward(
+                params, shard[0], frontier,
+                gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
+            )
+            violated = jax.lax.psum(violated.astype(jnp.int32), axis) > 0
+            return logits, violated
+
+        return shard_map(
+            shard_fwd,
+            mesh=self.mesh,
+            in_specs=(
+                P(), P(self.axis),
+                (P(self.axis),) * 4,
+                P(self.axis),
+            ),
+            out_specs=(P(self.axis), P()),
+            check_vma=False,
+        )(params, feature_shards, adj_leaves,
+          seeds.reshape(self.mesh.shape[self.axis], -1))
+
+    def predict(self, state, nodes):
+        """Distributed sampled eval (fanouts = ``eval_fanouts`` or the
+        model's): adjacency stays E/S and features N/S*F per chip through
+        eval too — there is deliberately no replicated fallback here. A
+        capacity overflow retries with doubled slack (a recompile, not a
+        silent clip); covering fanouts reproduce the replicated trainer's
+        deterministic eval exactly (test-pinned)."""
+        import warnings
+
+        nodes = np.asarray(nodes)
+        s = self.mesh.shape[self.axis]
+        pad = (-len(nodes)) % s
+        seeds = np.concatenate([nodes, np.zeros(pad, nodes.dtype)])
+        seeds_dev = jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl)
+        slack = float(self.capacity_slack)
+        for _ in range(4):
+            fn = self._jit_eval_fs.get(slack)
+            if fn is None:
+                fn = jax.jit(
+                    functools.partial(self._eval_logits_fully_sharded, slack=slack)
+                )
+                self._jit_eval_fs[slack] = fn
+            logits, violated = fn(
+                state.params, self.feature_shards, self.adjacency_shards,
+                seeds_dev,
+            )
+            if not bool(violated):
+                return np.asarray(jnp.argmax(logits, axis=-1))[: len(nodes)]
+            warnings.warn(
+                "distributed eval request capacity exceeded at "
+                f"slack={slack}; retrying with slack={slack * 2} "
+                "(set capacity_slack higher to avoid the recompile)"
+            )
+            slack *= 2.0
+        raise ValueError(
+            "distributed eval request capacity still exceeded after "
+            f"retries up to slack={slack} — the seed set's requests are "
+            "extraordinarily skewed; raise capacity_slack explicitly"
+        )
+
     def memory_stats(self) -> dict:
-        return {**self.features.memory_stats(), **self.adjacency.memory_stats()}
+        return {**super().memory_stats(), **self.adjacency.memory_stats()}

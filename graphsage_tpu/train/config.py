@@ -31,6 +31,9 @@ class ModelConfig:
     # Project-then-aggregate reordering for the mean aggregator (exact math;
     # see GraphSAGE.project_first). "auto" | True | False.
     project_first: object = "auto"
+    # Layer-0 mode: "sampled" | "full" (shared-table layer 0 — see
+    # GraphSAGE.layer0; wins when num_edges < B * prod(fanouts)).
+    layer0: str = "sampled"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -74,6 +74,7 @@ def build_model(config: ExperimentConfig, graph: Graph) -> GraphSAGE:
         project_first=m.project_first,
         gather_impl=m.gather_impl,
         spmm_impl=m.spmm_impl,
+        layer0=m.layer0,
     )
 
 

@@ -62,10 +62,13 @@ class FullGraphTrainer:
                 halo_full_graph_logits,
             )
 
+            # order="auto" sweeps the partition quality levers and builds
+            # the minimum-communication plan (falls back to plain input
+            # order on structureless graphs — see auto_partition_plan).
             self._part = (
                 partition
                 if partition is not None
-                else build_node_partition(graph, mesh.shape[axis])
+                else build_node_partition(graph, mesh.shape[axis], order="auto")
             )
             self._payload = self._part.h0
             self._logits_fn = lambda p, h0: halo_full_graph_logits(

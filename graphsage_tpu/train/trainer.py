@@ -72,7 +72,10 @@ class Trainer:
 
     def __init__(self, model: GraphSAGE, graph: Graph, config: TrainConfig):
         self.model = model
-        self.graph = graph
+        # Subclasses override _place_graph to control what (if anything) of
+        # the graph becomes device-resident; the base trainer wants the
+        # whole pytree on device (host graphs are placed once here).
+        self.graph = self._place_graph(graph)
         self.cfg = config
         self.tx = make_optimizer(config)
         self.test_nodes, self.val_nodes, self.train_nodes = reference_splits(
@@ -91,6 +94,12 @@ class Trainer:
         )
         self._eval_model: Optional[GraphSAGE] = None
         self._jit_eval_logits = None
+
+    # ------------------------------------------------------------------ place
+    def _place_graph(self, graph: Graph) -> Graph:
+        """Device layout of the graph for this trainer (single-chip: all of
+        it). Sharded trainers override to keep only what they replicate."""
+        return graph.to_device() if graph.on_host else graph
 
     # ------------------------------------------------------------------ state
     def init_state(self) -> TrainState:
@@ -113,7 +122,9 @@ class Trainer:
         def loss_fn(params: SAGEParams) -> jax.Array:
             frontier = self.model.sample(sample_key, graph, seeds)
             labels = jnp.take(graph.labels, seeds, axis=0)
-            return self.model.loss(params, graph.features, frontier, labels)
+            return self.model.loss(
+                params, graph.features, frontier, labels, graph=graph
+            )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
@@ -130,16 +141,23 @@ class Trainer:
 
     def _train_block(
         self, state: TrainState, graph: Graph, seeds_all: jax.Array
-    ) -> tuple[TrainState, jax.Array]:
+    ) -> tuple[TrainState, jax.Array, jax.Array]:
         """``steps_per_dispatch`` train steps in one compiled scan — one
         host->device dispatch instead of one per step (~28 ms each under the
-        relay)."""
+        relay).
+
+        Returns ``(state, losses, violated)`` where ``violated`` is a
+        per-step bool: trainers whose step can abort (compact sharded-gather
+        capacity overflow) flag the exact step so ``run()`` raises with its
+        index instead of silently training on; the base step cannot violate.
+        """
 
         def body(st, seeds):
             st, loss = self._train_step(st, graph, seeds)
-            return st, loss
+            return st, (loss, jnp.zeros((), bool))
 
-        return jax.lax.scan(body, state, seeds_all)
+        state, (losses, violated) = jax.lax.scan(body, state, seeds_all)
+        return state, losses, violated
 
     # ------------------------------------------------------------------ batches
     def batches(self, start_step: int = 0):
@@ -267,9 +285,19 @@ class Trainer:
                     np.stack([next(batch_iter) for _ in range(n)]), jnp.int32
                 )
                 t0 = time.perf_counter()
-                state, block_losses = self._jit_block(state, self.graph, seeds_all)
+                state, block_losses, violated = self._jit_block(
+                    state, self.graph, seeds_all
+                )
                 block_losses = np.asarray(block_losses)  # completion barrier
                 times.append((time.perf_counter() - t0) / n)
+                violated = np.asarray(violated)
+                if violated.any():
+                    raise ValueError(
+                        "sharded request capacity exceeded at step "
+                        f"{done + int(np.argmax(violated))}: a per-pair "
+                        "routing bucket overflowed (rows would be clipped). "
+                        "Increase capacity_slack or use gather_mode='dense'."
+                    )
                 block_losses = [float(l) for l in block_losses]
             else:
                 t0 = time.perf_counter()

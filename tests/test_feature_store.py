@@ -270,3 +270,144 @@ def test_fully_sharded_trainer_stochastic_trains(graph):
     res = full.run(log=None)
     assert np.isfinite(res["losses"]).all()
     assert res["losses"][-1] < res["losses"][0]
+
+
+def test_fully_sharded_distributed_eval_parity(graph):
+    """predict() routes through the DISTRIBUTED sampler + compact gather
+    (round-2 VERDICT item 2); at covering fanouts distributed sampling is
+    deterministic, so predictions must equal the replicated trainer's
+    sampled eval bit-for-bit."""
+    from graphsage_tpu.parallel.feature_store import FullyShardedTrainer
+
+    max_deg = int(np.asarray(graph.degrees).max())
+    model = GraphSAGE(
+        in_dim=graph.num_features, num_classes=graph.num_classes,
+        hidden_dims=(8, 8), fanouts=(max_deg, max_deg), gather_impl="take",
+        matmul_precision="highest",
+    )
+    cfg = TrainConfig(batch_size=32, num_steps=1, test_size=40, val_size=40,
+                      log_every=0, eval_fanouts=(max_deg, max_deg))
+    single = Trainer(model, graph, cfg)
+    mesh = make_mesh({"data": 8})
+    full = FullyShardedTrainer(model, graph, cfg, mesh, capacity_slack=8.0)
+    s1, s2 = single.init_state(), full.init_state()
+    p1 = single.predict(s1, single.val_nodes)
+    p2 = full.predict(s2, full.val_nodes)
+    np.testing.assert_array_equal(p1, p2)
+
+
+def test_block_overflow_raises_with_step_index(graph):
+    """A compact capacity overflow inside a scanned block must raise with
+    the failing step's index — not NaN-poison the block (round-2 VERDICT
+    item 6)."""
+    model = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
+                      hidden_dims=(8, 8), fanouts=(4, 4))
+    cfg = TrainConfig(batch_size=32, num_steps=4, steps_per_dispatch=2,
+                      test_size=40, val_size=40, log_every=0)
+    mesh = make_mesh({"data": 8})
+    tr = ShardedFeatureTrainer(model, graph, cfg, mesh,
+                               gather_mode="compact", capacity_slack=0.1)
+    with pytest.raises(ValueError, match=r"step 0"):
+        tr.run(log=None)
+
+
+def test_sharded_sampler_uniform_marginals():
+    """Chi-square uniformity of the DISTRIBUTED owner-keyed sampler
+    (round-2 VERDICT item 5): every shard requests two star centers owned
+    by different shards; each sampled neighbor's marginal must be
+    fanout/degree. A biased fold_in key-split would skew exactly this."""
+    from graphsage_tpu.data.graph import build_graph
+    from graphsage_tpu.parallel.feature_store import (
+        shard_adjacency,
+        sharded_sample_neighbors,
+    )
+
+    # 16 nodes over 8 shards (2 rows each). Node 0 (shard 0) and node 15
+    # (shard 7) are star centers with neighbors 1..8 each.
+    edges = np.concatenate(
+        [[[0, i] for i in range(1, 9)], [[15, i] for i in range(1, 9)]]
+    )
+    g = build_graph(np.zeros((16, 4), np.float32), np.zeros(16), edges,
+                    num_classes=1, placement="host")
+    mesh = make_mesh({"data": 8})
+    adj = shard_adjacency(g, 8)
+    fanout, cap = 2, 24
+
+    def hop(ell, deg, indptr, edge_dst, key):
+        ids = jnp.asarray([0, 15], jnp.int32)  # every shard asks for both
+        nids, nmask, viol = sharded_sample_neighbors(
+            "data", adj, ell[0], deg[0], indptr[0], edge_dst[0],
+            ids, fanout, key[0], cap,
+        )
+        return nids[None], nmask[None], viol[None]
+
+    f = jax.jit(shard_map(
+        hop, mesh=mesh,
+        in_specs=((P("data"),) * 4 + (P(),)),
+        out_specs=(P("data"), P("data"), P("data")),
+    ))
+    draws = 400
+    keys = jax.random.split(jax.random.PRNGKey(17), draws)
+    counts = {0: np.zeros(17), 15: np.zeros(17)}
+    for d in range(draws):
+        nids, nmask, viol = f(adj.ell, adj.degrees, adj.indptr, adj.edge_dst,
+                              jnp.broadcast_to(keys[d], (8, *keys[d].shape)))
+        assert not bool(np.asarray(viol).any())
+        nids, nmask = np.asarray(nids), np.asarray(nmask)
+        assert nmask.all()  # degree 8 >= fanout 2 everywhere
+        for row, center in ((0, 0), (1, 15)):
+            ids_row = nids[:, row, :].reshape(-1)
+            # without replacement within each request
+            for s in range(8):
+                assert len(set(nids[s, row].tolist())) == fanout
+            np.add.at(counts[center], ids_row, 1)
+    for center in (0, 15):
+        requests = draws * 8  # one request per shard per draw
+        probs = counts[center][1:9] / requests
+        # per-request marginal = fanout/degree = 2/8
+        np.testing.assert_allclose(probs, 0.25, atol=0.02)
+        assert counts[center][0] == 0 and counts[center][9:].sum() == 0
+
+
+def test_sharded_sampling_hop_overflow_aborts(graph):
+    """An overflowing SAMPLING hop (not just a feature gather) must set the
+    violation flag and abort the fully sharded step (round-2 VERDICT item
+    5b). All seeds hit shard 0's rows, so hop-1 requests pile onto one
+    owner past its per-pair capacity."""
+    from graphsage_tpu.data.graph import build_graph
+    from graphsage_tpu.parallel.feature_store import (
+        FullyShardedTrainer,
+        shard_adjacency,
+        sharded_sample_neighbors,
+    )
+
+    # Direct: 8 shards x 16 requests for node 0 with capacity 8 -> violated.
+    edges = np.array([[0, i] for i in range(1, 9)])
+    g = build_graph(np.zeros((16, 4), np.float32), np.zeros(16), edges,
+                    num_classes=1, placement="host")
+    mesh = make_mesh({"data": 8})
+    adj = shard_adjacency(g, 8)
+
+    def hop(ell, deg, indptr, edge_dst):
+        ids = jnp.zeros((16,), jnp.int32)
+        _, _, viol = sharded_sample_neighbors(
+            "data", adj, ell[0], deg[0], indptr[0], edge_dst[0],
+            ids, 2, jax.random.PRNGKey(0), 8,
+        )
+        return viol[None]
+
+    viol = shard_map(
+        hop, mesh=mesh, in_specs=(P("data"),) * 4, out_specs=P("data"),
+    )(adj.ell, adj.degrees, adj.indptr, adj.edge_dst)
+    assert bool(np.asarray(viol).all())
+
+    # Trainer-level: skewed seed batch -> step() raises loudly.
+    model = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
+                      hidden_dims=(8, 8), fanouts=(4, 4))
+    cfg = TrainConfig(batch_size=128, num_steps=1, test_size=40, val_size=40,
+                      log_every=0)
+    tr = FullyShardedTrainer(model, graph, cfg, mesh, capacity_slack=0.05)
+    state = tr.init_state()
+    skewed = np.zeros(128, np.int32)  # every seed owned by shard 0
+    with pytest.raises(ValueError, match="capacity"):
+        tr.step(state, skewed)

@@ -209,11 +209,14 @@ def _train_reference(ref, feat_data, labels, adj_lists, num_classes, seed):
 
 
 def test_trained_f1_parity(ref, cora_data):
-    """Both implementations, same files, same split sizes, several seeds:
-    final validation F1 must agree within run-to-run noise — the BASELINE.md
-    'trains to the same F1' claim, now actually tested (model.py:105)."""
+    """Both implementations, same files, same split sizes, 5 seeds:
+    final validation F1 must agree within a pooled-standard-error bound —
+    the BASELINE.md 'trains to the same F1' claim, now actually tested
+    (model.py:105). Round-2 VERDICT item 9: the old ``max(ptp, 0.04)``
+    window would have passed a systematic 4-point gap; the pooled-SE
+    criterion (tolerance ~1.5-2 F1 points at observed variances) fails it."""
     feat_data, labels, adj_lists, graph = cora_data
-    seeds = [1, 2, 3]
+    seeds = [1, 2, 3, 4, 5]
     ref_f1 = [
         _train_reference(ref, feat_data, labels, adj_lists, graph.num_classes, s)
         for s in seeds
@@ -233,10 +236,17 @@ def test_trained_f1_parity(ref, cora_data):
         fw_f1.append(res["val_micro_f1"])
 
     ref_mean, fw_mean = float(np.mean(ref_f1)), float(np.mean(fw_f1))
-    spread = max(
-        float(np.ptp(ref_f1)), float(np.ptp(fw_f1)), 0.04
-    )  # run-to-run noise floor
-    assert abs(ref_mean - fw_mean) <= spread, (
-        f"trained-F1 divergence: reference {ref_f1} vs framework {fw_f1}"
+    n = len(seeds)
+    pooled_se = float(
+        np.sqrt(np.var(ref_f1, ddof=1) / n + np.var(fw_f1, ddof=1) / n)
+    )
+    # ~2.5 sigma of the mean-difference distribution, floored at 1.5 F1
+    # points (both runs are unseeded-init stochastic — quirk Q9); well
+    # under the old 0.04 window, so a systematic 4-point gap now fails.
+    tolerance = max(2.5 * pooled_se, 0.015)
+    assert tolerance < 0.04, "variance blew past the old window — investigate"
+    assert abs(ref_mean - fw_mean) <= tolerance, (
+        f"trained-F1 divergence: reference {ref_f1} (mean {ref_mean:.4f}) vs "
+        f"framework {fw_f1} (mean {fw_mean:.4f}), tolerance {tolerance:.4f}"
     )
     assert min(ref_f1 + fw_f1) > 0.5  # both actually learned
