@@ -23,7 +23,9 @@ from graphsage_tpu.parallel.distributed import ShardedTrainer
 from graphsage_tpu.parallel.feature_store import (
     FullyShardedTrainer,
     ShardedFeatureTrainer,
+    sharded_comm_stats,
 )
+from graphsage_tpu.parallel.halo import auto_partition_plan, build_node_partition
 from graphsage_tpu.parallel.mesh import make_mesh
 from graphsage_tpu.train.config import ExperimentConfig, ModelConfig, TrainConfig
 from graphsage_tpu.train.experiments import run_cora, run_preset, run_pubmed
@@ -47,6 +49,9 @@ __all__ = [
     "ShardedTrainer",
     "ShardedFeatureTrainer",
     "FullyShardedTrainer",
+    "sharded_comm_stats",
+    "auto_partition_plan",
+    "build_node_partition",
     "make_mesh",
     "TrainState",
     "run_cora",

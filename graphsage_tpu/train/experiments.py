@@ -92,9 +92,13 @@ def run_preset(
     """Train one of the BASELINE.json preset configs end to end.
 
     ``mode``: "sampled" (minibatch neighbor sampling, the reference's
-    training scheme) or "full-graph" (transductive full-batch).
-    ``resume_path``: restore a checkpoint written by ``checkpoint_path``
-    and continue training from it (checkpoint-restart, SURVEY.md §5.3/5.4)."""
+    training scheme), "full-graph" (transductive full-batch), "sharded"
+    (node-sharded feature store over every visible device — per-chip
+    feature memory N/S*F, host-resident source graph), or "fully-sharded"
+    (adjacency + features + batch all sharded, distributed per-hop
+    sampling). ``resume_path``: restore a checkpoint written by
+    ``checkpoint_path`` and continue training from it (checkpoint-restart,
+    SURVEY.md §5.3/5.4)."""
     config = PRESETS[name]
     if overrides:
         train_over = {k: v for k, v in overrides.items()
@@ -115,6 +119,35 @@ def run_preset(
 
         fg_model = _dc.replace(model, fanouts=tuple(None for _ in model.fanouts))
         trainer = FullGraphTrainer(fg_model, graph, config.train)
+    elif mode in ("sharded", "fully-sharded"):
+        import jax
+
+        from graphsage_tpu.parallel.feature_store import (
+            FullyShardedTrainer,
+            ShardedFeatureTrainer,
+        )
+        from graphsage_tpu.parallel.mesh import make_mesh
+
+        s = len(jax.devices())
+        if config.train.batch_size % s:
+            raise ValueError(
+                f"batch_size {config.train.batch_size} is not divisible by "
+                f"the {s} visible devices; pass --batch-size"
+            )
+        mesh = make_mesh({"data": s})
+        # Host-resident source: per-chip shards become the only graph-sized
+        # device buffers (docs/DISTRIBUTED.md "Host-resident graphs").
+        host_graph = graph if graph.on_host else graph.to_host()
+        cls = (
+            FullyShardedTrainer if mode == "fully-sharded"
+            else ShardedFeatureTrainer
+        )
+        trainer = cls(model, host_graph, config.train, mesh)
+        if log:
+            stats = trainer.memory_stats()
+            log(f"{mode} over {s} device(s): "
+                f"{stats['feature_bytes_per_chip']} feature B/chip "
+                f"(replicated would be {stats['feature_bytes_replicated']})")
     elif mode == "sampled":
         trainer = Trainer(model, graph, config.train)
     else:
@@ -182,7 +215,10 @@ def main(argv: Optional[list[str]] = None) -> None:
         "reference's run_cora/run_pubmed plus the BASELINE.json configs).",
     )
     parser.add_argument("--preset", default="cora", choices=sorted(PRESETS))
-    parser.add_argument("--mode", default="sampled", choices=("sampled", "full-graph"))
+    parser.add_argument(
+        "--mode", default="sampled",
+        choices=("sampled", "full-graph", "sharded", "fully-sharded"),
+    )
     parser.add_argument("--data-root", default=None,
                         help="dataset directory (cora/ or pubmed-data/ layout)")
     parser.add_argument("--steps", type=int, default=None)

@@ -40,6 +40,12 @@ class FullGraphTrainer:
         partition=None,  # Optional prebuilt NodePartition (avoids the O(E) host precompute twice)
     ):
         self.model = model
+        # Host graphs device-place up front: this trainer's logits fns close
+        # over adjacency leaves, and closing over host numpy would embed
+        # them as compile-time constants (the round-2 constant-folding trap,
+        # docs/ROOFLINE.md §re: closure constants).
+        if graph.on_host:
+            graph = graph.to_device()
         self.graph = graph
         self.cfg = config
         self.mesh = mesh

@@ -120,3 +120,19 @@ def test_reference_presets_use_sampled_eval(synth_cora_root):
     preds = tr.predict(state, tr.val_nodes)
     assert tr._eval_model is not None  # sampled-eval path was taken
     assert preds.shape == (30,)
+
+
+def test_run_preset_sharded_mode(synth_cora_root):
+    """--mode sharded trains through the node-sharded feature store over
+    the visible devices with a host-resident source graph."""
+    from graphsage_tpu.train.experiments import run_preset
+
+    res = run_preset(
+        "cora", data_root=str(synth_cora_root), log=None, mode="sharded",
+        overrides={"num_steps": 2, "batch_size": 64, "log_every": 0,
+                   "test_size": 80, "val_size": 80},
+    )
+    import numpy as np
+
+    assert np.isfinite(res["losses"]).all()
+    assert len(res["losses"]) == 2
