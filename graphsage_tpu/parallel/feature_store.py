@@ -565,20 +565,25 @@ class ShardedFeatureTrainer(Trainer):
             violated,
         )
 
-    def _train_block(self, state, graph, seeds_all):
+    def _block_payload(self):
+        # Shard stack + no-feature graph as jit ARGS (never closure
+        # constants — see Trainer._block_payload).
+        return (self.feature_shards, self._graph_nofeat)
+
+    def _train_block(self, state, payload, seeds_all):
         """Scanned block dispatch over the SHARDED step (the inherited block
-        would fall back to the replicated-table step). ``graph`` arrives from
-        the parent's run() as the no-feature device graph (adjacency +
-        labels; the feature payload is the sharded store).
+        would fall back to the replicated-table step). ``payload`` is
+        ``(feature_shards, graph_nofeat)`` from ``_block_payload``.
 
         Capacity violations ride out as the per-step bool lane so ``run()``
         raises with the exact step index — a violated step's loss is still
         the clipped-rows value, but the run aborts before acting on it.
         """
+        feature_shards, graph = payload
 
         def body(st, seeds):
             st, loss, violated = self._sharded_step(
-                st, self.feature_shards, graph, seeds
+                st, feature_shards, graph, seeds
             )
             return st, (loss, violated)
 
@@ -982,10 +987,15 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
             violated,
         )
 
-    def _train_block(self, state, graph, seeds_all):
+    def _block_payload(self):
+        return (self.feature_shards, self.adjacency_shards)
+
+    def _train_block(self, state, payload, seeds_all):
+        feature_shards, adjacency_shards = payload
+
         def body(st, seeds):
             st, loss, violated = self._fully_sharded_step(
-                st, self.feature_shards, self.adjacency_shards, seeds
+                st, feature_shards, adjacency_shards, seeds
             )
             return st, (loss, violated)
 

@@ -139,12 +139,22 @@ class Trainer:
         state, loss = self._jit_step(state, self.graph, seeds)
         return state, loss
 
+    def _block_payload(self):
+        """Device payload threaded through the scanned block as a jit
+        ARGUMENT. Closing over large device arrays instead would embed them
+        as compile-time constants — XLA then constant-folds entire layers
+        at trace time (minutes-long compiles at 100K+ nodes; see
+        docs/ROOFLINE.md on closure constants). Sharded trainers override
+        to pass their shard stacks."""
+        return self.graph
+
     def _train_block(
-        self, state: TrainState, graph: Graph, seeds_all: jax.Array
+        self, state: TrainState, payload, seeds_all: jax.Array
     ) -> tuple[TrainState, jax.Array, jax.Array]:
         """``steps_per_dispatch`` train steps in one compiled scan — one
         host->device dispatch instead of one per step (~28 ms each under the
-        relay).
+        relay). ``payload`` is whatever ``_block_payload`` returns (the
+        graph here; shard stacks in the sharded trainers).
 
         Returns ``(state, losses, violated)`` where ``violated`` is a
         per-step bool: trainers whose step can abort (compact sharded-gather
@@ -153,7 +163,7 @@ class Trainer:
         """
 
         def body(st, seeds):
-            st, loss = self._train_step(st, graph, seeds)
+            st, loss = self._train_step(st, payload, seeds)
             return st, (loss, jnp.zeros((), bool))
 
         state, (losses, violated) = jax.lax.scan(body, state, seeds_all)
@@ -286,7 +296,7 @@ class Trainer:
                 )
                 t0 = time.perf_counter()
                 state, block_losses, violated = self._jit_block(
-                    state, self.graph, seeds_all
+                    state, self._block_payload(), seeds_all
                 )
                 block_losses = np.asarray(block_losses)  # completion barrier
                 times.append((time.perf_counter() - t0) / n)

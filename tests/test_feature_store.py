@@ -411,3 +411,36 @@ def test_sharded_sampling_hop_overflow_aborts(graph):
     skewed = np.zeros(128, np.int32)  # every seed owned by shard 0
     with pytest.raises(ValueError, match="capacity"):
         tr.step(state, skewed)
+
+
+def test_sharded_comm_stats_math():
+    """Static comm-volume report: capacities match request_capacity, the
+    compact/dense ratio is ~S/slack, and fully-sharded adds sampling hops."""
+    from graphsage_tpu.parallel.feature_store import (
+        request_capacity,
+        sharded_comm_stats,
+    )
+
+    model = GraphSAGE(in_dim=1433, num_classes=7, hidden_dims=(128, 128),
+                      fanouts=(10, 10))
+    st = sharded_comm_stats(model, 256, 8, slack=1.5, fully_sharded=True)
+    # One lookup site (pure mean): the full deepest-hop frontier per chip.
+    (site,) = st["sites"]
+    q = (256 // 8) * 10 * 10
+    assert site["q_local"] == q
+    assert site["capacity"] == request_capacity(q, 8, 1.5)
+    assert st["gather_compact_bytes_per_chip_step"] < st[
+        "gather_dense_bytes_per_chip_step"
+    ]
+    ratio = st["gather_compact_vs_dense"]
+    assert 4.0 < ratio <= 8.0  # ~S/slack with rounding
+    assert len(st["sampling_hops"]) == 2
+    assert st["total_compact_bytes_per_chip_step"] == (
+        st["gather_compact_bytes_per_chip_step"]
+        + st["sampling_bytes_per_chip_step"]
+    )
+    # concat_self adds the self-lookup site.
+    m2 = GraphSAGE(in_dim=64, num_classes=7, hidden_dims=(16, 16),
+                   fanouts=(4, 4), concat_self=True)
+    st2 = sharded_comm_stats(m2, 64, 8)
+    assert len(st2["sites"]) == 2
