@@ -1080,8 +1080,8 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
         pad = (-len(nodes)) % s
         seeds = np.concatenate([nodes, np.zeros(pad, nodes.dtype)])
         seeds_dev = jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl)
-        slack = float(self.capacity_slack)
-        for _ in range(4):
+        slacks = [float(self.capacity_slack) * (2.0 ** i) for i in range(4)]
+        for i, slack in enumerate(slacks):
             fn = self._jit_eval_fs.get(slack)
             if fn is None:
                 fn = jax.jit(
@@ -1094,16 +1094,16 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
             )
             if not bool(violated):
                 return np.asarray(jnp.argmax(logits, axis=-1))[: len(nodes)]
-            warnings.warn(
-                "distributed eval request capacity exceeded at "
-                f"slack={slack}; retrying with slack={slack * 2} "
-                "(set capacity_slack higher to avoid the recompile)"
-            )
-            slack *= 2.0
+            if i + 1 < len(slacks):
+                warnings.warn(
+                    "distributed eval request capacity exceeded at "
+                    f"slack={slack}; retrying with slack={slacks[i + 1]} "
+                    "(set capacity_slack higher to avoid the recompile)"
+                )
         raise ValueError(
             "distributed eval request capacity still exceeded after "
-            f"retries up to slack={slack} — the seed set's requests are "
-            "extraordinarily skewed; raise capacity_slack explicitly"
+            f"retries up to slack={slacks[-1]} — the seed set's requests "
+            "are extraordinarily skewed; raise capacity_slack explicitly"
         )
 
     def memory_stats(self) -> dict:

@@ -302,11 +302,14 @@ def partition_comm_rows(
     order: np.ndarray | str | None = None,
     sizing: str = "global",
     hub_threshold: int | None = None,
+    _resolved: tuple | None = None,
 ) -> dict:
     """Cheap host-side estimate of a candidate partition's per-shard
     boundary-exchange volume — the same count ``NodePartition.comm_stats``
     reports, without building any device arrays (one O(E log E) pass).
-    Feeds :func:`auto_partition_plan`."""
+    Feeds :func:`auto_partition_plan`, which passes ``_resolved`` (the
+    ``(order array, lpa bounds)`` pair) so BFS/LPA run once per order
+    string instead of once per hub x sizing candidate."""
     n = graph.num_nodes
     s_num = num_shards
     indptr = np.asarray(graph.indptr).astype(np.int64)
@@ -314,7 +317,11 @@ def partition_comm_rows(
     edge_dst = np.asarray(graph.edge_dst)[: graph.num_edges].astype(np.int64)
     edge_src = np.asarray(graph.edge_src)[: graph.num_edges].astype(np.int64)
 
-    order_arr, lpa_bounds = _resolve_order(graph, num_shards, order)
+    order_arr, lpa_bounds = (
+        _resolved
+        if _resolved is not None
+        else _resolve_order(graph, num_shards, order)
+    )
     bounds = (
         lpa_bounds
         if lpa_bounds is not None
@@ -395,16 +402,22 @@ def auto_partition_plan(
         if thr > max(8, int(np.median(degrees)) * 4) and (degrees >= thr).any():
             if thr not in hubs:
                 hubs.append(thr)
+    if not hubs:  # e.g. caller passed quantiles only and none qualified
+        hubs = [None]
     simplicity = {
         "order": {o: i for i, o in enumerate(orders)},
         "sizing": {s: i for i, s in enumerate(sizings)},
     }
+    # Resolve each order ONCE (BFS/LPA are O(E)-ish host passes; without
+    # this they would rerun per hub x sizing candidate).
+    resolved = {o: _resolve_order(graph, num_shards, o) for o in orders}
     candidates = []
     for o in orders:
         for hub in hubs:
             for sz in sizings:
                 stats = partition_comm_rows(
-                    graph, num_shards, order=o, sizing=sz, hub_threshold=hub
+                    graph, num_shards, order=o, sizing=sz, hub_threshold=hub,
+                    _resolved=resolved[o],
                 )
                 rank = (
                     simplicity["order"].get(o, 99),

@@ -23,18 +23,23 @@ from graphsage_tpu.train.config import ExperimentConfig, PRESETS
 from graphsage_tpu.train.trainer import Trainer
 
 
-def load_dataset(name: str, data_root: str | None = None) -> Graph:
+def load_dataset(
+    name: str, data_root: str | None = None, placement: str = "device"
+) -> Graph:
+    """``placement="host"`` keeps the graph in host numpy — the sharded
+    modes load this way so a full device table is never even transiently
+    resident (docs/DISTRIBUTED.md "Host-resident graphs")."""
     if name == "cora":
-        return load_cora(data_root or "cora")
+        return load_cora(data_root or "cora", placement=placement)
     if name == "pubmed":
-        return load_pubmed(data_root or "pubmed-data")
+        return load_pubmed(data_root or "pubmed-data", placement=placement)
     if name == "powerlaw":
         # homophily makes the preset learnable in pure-neighbor-mean mode
         # (see power_law_graph); throughput benches construct their own
         # graphs with the default 0.
         return power_law_graph(
             num_nodes=100_000, num_edges=2_000_000, num_feats=256,
-            num_classes=16, homophily=0.8,
+            num_classes=16, homophily=0.8, placement=placement,
         )
     if name == "reddit":
         # BASELINE config #5 shape: 232K nodes / ~11.6M directed edge slots,
@@ -46,6 +51,7 @@ def load_dataset(name: str, data_root: str | None = None) -> Graph:
         return power_law_graph(
             num_nodes=232_965, num_edges=5_800_000, num_feats=602,
             num_classes=41, homophily=0.8, feature_dtype=_jnp.bfloat16,
+            placement=placement,
         )
     if name == "powerlaw_1m":
         # BASELINE config #4 shape: 1M nodes / 20M directed edge slots.
@@ -54,6 +60,7 @@ def load_dataset(name: str, data_root: str | None = None) -> Graph:
         return power_law_graph(
             num_nodes=1_000_000, num_edges=10_000_000, num_feats=256,
             num_classes=32, homophily=0.8, feature_dtype=_jnp.bfloat16,
+            placement=placement,
         )
     raise ValueError(f"unknown dataset {name!r}")
 
@@ -110,7 +117,12 @@ def run_preset(
             train=dataclasses.replace(config.train, **train_over),
             model=dataclasses.replace(config.model, **model_over),
         )
-    graph = load_dataset(config.dataset, data_root)
+    graph = load_dataset(
+        config.dataset, data_root,
+        # Sharded modes load host-resident so no full device table ever
+        # exists (not even transiently at load time).
+        placement="host" if mode in ("sharded", "fully-sharded") else "device",
+    )
     model = build_model(config, graph)
     if mode == "full-graph":
         import dataclasses as _dc
@@ -135,14 +147,13 @@ def run_preset(
                 f"the {s} visible devices; pass --batch-size"
             )
         mesh = make_mesh({"data": s})
-        # Host-resident source: per-chip shards become the only graph-sized
-        # device buffers (docs/DISTRIBUTED.md "Host-resident graphs").
-        host_graph = graph if graph.on_host else graph.to_host()
+        # The graph was loaded host-resident above: per-chip shards become
+        # the only graph-sized device buffers.
         cls = (
             FullyShardedTrainer if mode == "fully-sharded"
             else ShardedFeatureTrainer
         )
-        trainer = cls(model, host_graph, config.train, mesh)
+        trainer = cls(model, graph, config.train, mesh)
         if log:
             stats = trainer.memory_stats()
             log(f"{mode} over {s} device(s): "

@@ -306,7 +306,9 @@ class Trainer:
                         "sharded request capacity exceeded at step "
                         f"{done + int(np.argmax(violated))}: a per-pair "
                         "routing bucket overflowed (rows would be clipped). "
-                        "Increase capacity_slack or use gather_mode='dense'."
+                        "Increase capacity_slack (ShardedFeatureTrainer "
+                        "alternatively supports gather_mode='dense'; the "
+                        "fully sharded trainer is compact-only)."
                     )
                 block_losses = [float(l) for l in block_losses]
             else:

@@ -346,3 +346,15 @@ def test_auto_order_falls_back_on_random_graph():
     # Tie-breaking prefers the simple orders when nothing wins clearly.
     if auto_rows >= 0.98 * input_rows:
         assert plan["order"] in ("input", "bfs")
+
+
+def test_auto_plan_hub_only_quantiles_fall_back():
+    """hub_quantiles with no None entry and no qualifying threshold must
+    still produce a plan (regression: empty candidate list crashed min())."""
+    from graphsage_tpu.parallel.halo import auto_partition_plan
+
+    g = power_law_graph(num_nodes=1000, num_edges=5000, num_feats=8,
+                        num_classes=4, seed=1)
+    plan = auto_partition_plan(g, 4, hub_quantiles=(0.5,))
+    assert plan["hub_threshold"] is None
+    assert plan["stats"]["rows_exchanged_per_shard"] > 0
