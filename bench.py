@@ -116,14 +116,14 @@ def _measure_sharded(graph, model, batch, steps_per_block, blocks, mode,
         tr = ShardedFeatureTrainer(model, graph, cfg, mesh, gather_mode=mode,
                                    capacity_slack=slack)
 
-        def block(state, fs, g, seeds_all):
+        def block(state, fs, g, el, seeds_all):
             def body(st, seeds):
-                st, loss, _ = tr._sharded_step(st, fs, g, seeds)
+                st, loss, _ = tr._sharded_step(st, fs, g, el, seeds)
                 return st, loss
 
             return jax.lax.scan(body, state, seeds_all)
 
-        args = (tr.feature_shards, tr._graph_nofeat)
+        args = (tr.feature_shards, tr._graph_nofeat, tr.edge_slice_leaves)
 
     frontier = model.sample(jax.random.PRNGKey(0), graph,
                             jnp.zeros(batch, jnp.int32))

@@ -129,9 +129,11 @@ class GraphSAGE:
     #     node's layer-0 activation is computed once, not once per frontier
     #     occurrence — identical to "sampled" at covering fanouts
     #     (test-pinned), a lower-variance estimator below them. Wins when
-    #     num_edges < B * prod(fanouts) (Pubmed-shape: 89K vs 256K rows);
-    #     single-chip/replicated trainers only (the distributed analog is
-    #     the halo FullGraphTrainer).
+    #     num_edges < B * prod(fanouts) (Pubmed-shape: 89K vs 256K rows).
+    #     Supported by every trainer: the sharded trainers build the table
+    #     DISTRIBUTED (per-shard edge slice + all_gather of the projected
+    #     rows — parallel/feature_store.py), and the halo FullGraphTrainer
+    #     is the full-batch analog.
     layer0: str = "sampled"
 
     def __post_init__(self):
@@ -141,10 +143,6 @@ class GraphSAGE:
             raise ValueError("self_loop and concat_self are mutually exclusive")
         if self.layer0 not in ("sampled", "full"):
             raise ValueError(f"unknown layer0 mode {self.layer0!r}")
-        if self.layer0 == "full" and self.aggregator != "mean":
-            raise ValueError(
-                "layer0='full' currently supports the mean aggregator only"
-            )
 
     @property
     def num_layers(self) -> int:
@@ -210,6 +208,82 @@ class GraphSAGE:
             masks.append(nmask.reshape(-1))
         return Frontier(ids=tuple(ids), masks=tuple(masks))
 
+    # ---------------------------------------------------- layer-0 full table
+    def layer0_full_table(
+        self,
+        params: SAGEParams,
+        features: jax.Array,
+        *,
+        spmm=None,
+        segmax=None,
+        graph: Graph | None = None,
+    ) -> jax.Array:
+        """The shared layer-0 table for ``layer0="full"``: one full-graph
+        layer over ``features`` rows -> ``[N(_local), d0]``.
+
+        Default closures read ``graph``'s CSR (the single-chip path);
+        distributed callers inject ``spmm``/``segmax`` closures over their
+        shard-local edge slice instead (``features`` is then the chip's
+        node-range rows and the result is the LOCAL table slice — see
+        parallel/feature_store.py). Keeping the layer math in
+        ``apply_full_graph_*_layer`` is what guarantees the sharded table
+        stays allclose to the replicated one."""
+        if self.layer0 != "full":
+            raise ValueError("layer0_full_table requires layer0='full'")
+        h0 = features
+        if self.compute_dtype is not None:
+            h0 = h0.astype(self.compute_dtype)
+        if self.aggregator == "mean":
+            if spmm is None:
+                if graph is None:
+                    raise ValueError(
+                        "layer0='full' needs forward(..., graph=...) — the "
+                        "full-graph layer 0 reads the CSR adjacency"
+                    )
+
+                def spmm(x):
+                    mean = spmm_mean(
+                        x, graph.edge_src, graph.edge_dst, graph.edge_mask,
+                        graph.num_nodes, indptr=graph.indptr,
+                        impl=self.spmm_impl, symmetric=graph.symmetric,
+                    )
+                    return mean, graph.degrees
+
+            return apply_full_graph_mean_layer(
+                params.layers[0], h0, spmm,
+                concat_self=self.concat_self,
+                self_loop=self.self_loop,
+                project_first=self.use_project_first(0, self.in_dim),
+                precision=self.matmul_precision,
+            )
+        # Maxpool layer 0: per-node pooling MLP once over all nodes,
+        # per-edge gather + guarded segment-max (same closure as
+        # forward_full_graph). The backward of segment_max is still a
+        # scatter (argmax routing) — only the mean variant is scatter-free —
+        # but the dedup win (each node pooled once, not once per frontier
+        # slot) applies identically.
+        if segmax is None:
+            if graph is None:
+                raise ValueError(
+                    "layer0='full' needs forward(..., graph=...) — the "
+                    "full-graph layer 0 reads the CSR adjacency"
+                )
+
+            def segmax(pooled):
+                per_edge = jnp.take(pooled, graph.edge_dst, axis=0)
+                agg = segment_max_csr(
+                    per_edge, graph.edge_src, graph.edge_mask,
+                    graph.num_nodes,
+                )
+                return agg, None
+
+        return apply_full_graph_maxpool_layer(
+            params.layers[0], h0, segmax,
+            concat_self=self.concat_self,
+            self_loop=self.self_loop,
+            precision=self.matmul_precision,
+        )
+
     # ------------------------------------------------------------- forward
     def forward(
         self,
@@ -221,6 +295,7 @@ class GraphSAGE:
         gather_fn=None,
         gather_mean_fn=None,
         graph: Graph | None = None,
+        layer0_table: jax.Array | None = None,
     ) -> jax.Array:
         """Logits ``[B, num_classes]`` for the frontier's seed batch
         (or the pre-head representations with ``return_embeddings``).
@@ -251,32 +326,15 @@ class GraphSAGE:
         start_l = 0
         if self.layer0 == "full":
             # Shared-table layer 0: one full-graph CSR layer over ALL nodes
-            # (scatter-free backward on symmetric adjacency), then the upper
-            # layers gather hop rows from the [N, d0] table. See the layer0
-            # field docstring for when this wins and the estimator note.
-            if graph is None:
-                raise ValueError(
-                    "layer0='full' needs forward(..., graph=...) — the "
-                    "full-graph layer 0 reads the CSR adjacency"
-                )
-
-            def spmm(x):
-                mean = spmm_mean(
-                    x, graph.edge_src, graph.edge_dst, graph.edge_mask,
-                    graph.num_nodes, indptr=graph.indptr, impl=self.spmm_impl,
-                    symmetric=graph.symmetric,
-                )
-                return mean, graph.degrees
-
-            h0 = features
-            if self.compute_dtype is not None:
-                h0 = h0.astype(self.compute_dtype)
-            table = apply_full_graph_mean_layer(
-                params.layers[0], h0, spmm,
-                concat_self=self.concat_self,
-                self_loop=self.self_loop,
-                project_first=self.use_project_first(0, self.in_dim),
-                precision=self.matmul_precision,
+            # (scatter-free backward on symmetric adjacency for the mean),
+            # then the upper layers gather hop rows from the [N, d0] table.
+            # ``layer0_table`` short-circuits the computation — the sharded
+            # trainers build the LOCAL table slice inside shard_map (with a
+            # cross-shard spmm) and the gather_fn exchanges d0-wide rows.
+            table = (
+                layer0_table
+                if layer0_table is not None
+                else self.layer0_full_table(params, features, graph=graph)
             )
             h = gather_fn(table, frontier.ids[L - 1], frontier.masks[L - 1])
             start_l = 1
@@ -482,11 +540,13 @@ class GraphSAGE:
         gather_fn=None,
         gather_mean_fn=None,
         graph: Graph | None = None,
+        layer0_table: jax.Array | None = None,
     ) -> jax.Array:
         """Mean softmax cross-entropy (reference model.py:35-37)."""
         logits = self.forward(
             params, features, frontier,
             gather_fn=gather_fn, gather_mean_fn=gather_mean_fn, graph=graph,
+            layer0_table=layer0_table,
         )
         return optax.softmax_cross_entropy_with_integer_labels(
             logits, labels.reshape(-1)

@@ -125,6 +125,140 @@ def shard_features(
     )
 
 
+@struct.dataclass
+class ShardEdgeSlices:
+    """Per-shard COO edge slice for the sharded layer-0 full-graph pass:
+    shard ``s`` holds the edges whose SOURCE (destination-of-aggregation)
+    node lies in its range, with source ids LOCAL (0..Np) and neighbor ids
+    GLOBAL (they index the all_gathered projected table)."""
+
+    edge_src: jax.Array  # [S, Em] local row index of the aggregating node
+    edge_dst: jax.Array  # [S, Em] GLOBAL neighbor id
+    edge_mask: jax.Array  # [S, Em] padding mask
+    degrees: jax.Array  # [S, Np] true degrees of the shard's rows
+    num_shards: int = struct.field(pytree_node=False)
+    rows_per_shard: int = struct.field(pytree_node=False)
+
+    @property
+    def leaves(self):
+        return (self.edge_src, self.edge_dst, self.edge_mask, self.degrees)
+
+
+def shard_edge_slices(
+    graph: Graph, num_shards: int, sharding=None
+) -> ShardEdgeSlices:
+    """Split the graph's CSR edge list into equal node-range shards
+    (host-side; same ownership rule as :func:`shard_features`). Each
+    shard's slice is padded to the max per-shard edge count — static
+    shapes under shard_map."""
+    indptr = np.asarray(graph.indptr).astype(np.int64)
+    edge_dst = np.asarray(graph.edge_dst)
+    edge_mask = np.asarray(graph.edge_mask)
+    deg = np.asarray(graph.degrees)
+    n = graph.num_nodes
+    rows = _round_up(max(-(-n // num_shards), 1), 8)
+    e_max = 1
+    for s in range(num_shards):
+        lo, hi = min(s * rows, n), min(s * rows + rows, n)
+        e_max = max(e_max, int(indptr[hi] - indptr[lo]))
+    e_max = _round_up(e_max, 128)
+    src_s = np.zeros((num_shards, e_max), np.int32)
+    dst_s = np.zeros((num_shards, e_max), np.int32)
+    msk_s = np.zeros((num_shards, e_max), bool)
+    deg_s = np.zeros((num_shards, rows), np.int32)
+    for s in range(num_shards):
+        lo, hi = min(s * rows, n), min(s * rows + rows, n)
+        deg_s[s, : hi - lo] = deg[lo:hi]
+        e = int(indptr[hi] - indptr[lo])
+        sl = slice(int(indptr[lo]), int(indptr[hi]))
+        src_s[s, :e] = (
+            np.repeat(np.arange(hi - lo), np.diff(indptr[lo : hi + 1]))
+        )
+        dst_s[s, :e] = edge_dst[sl]
+        msk_s[s, :e] = edge_mask[sl]
+    place = (
+        (lambda a: jax.device_put(a, sharding))
+        if sharding is not None
+        else jnp.asarray
+    )
+    return ShardEdgeSlices(
+        edge_src=place(src_s),
+        edge_dst=place(dst_s),
+        edge_mask=place(msk_s),
+        degrees=place(deg_s),
+        num_shards=num_shards,
+        rows_per_shard=rows,
+    )
+
+
+def make_sharded_spmm(
+    axis: str,
+    e_src: jax.Array,  # [Em] LOCAL row index of the aggregating node
+    e_dst: jax.Array,  # [Em] GLOBAL neighbor id
+    e_mask: jax.Array,  # [Em]
+    deg: jax.Array,  # [Np] true degrees of this shard's rows
+    rows_per_shard: int,
+):
+    """The ``spmm`` closure for :meth:`GraphSAGE.layer0_full_table` inside
+    shard_map: ``all_gather`` every shard's (projected) rows into the full
+    ``[S*Np, d]`` table — d0-wide under project-first, the cheap case the
+    mode exists for — then aggregate this shard's local edge slice with the
+    exact single-chip segment-mean numerics (:func:`segment_mean_csr`). The
+    transpose is a scatter-add into ``[S*Np, d]`` followed by
+    ``all_gather``'s psum_scatter backward, which is precisely the
+    feature/projection gradient the table needs."""
+    from graphsage_tpu.ops.aggregate import segment_mean_csr
+
+    def spmm(x_local):
+        x_full = jax.lax.all_gather(x_local, axis, tiled=True)  # [S*Np, d]
+        per_edge = jnp.take(x_full, e_dst, axis=0)
+        mean = segment_mean_csr(per_edge, e_src, e_mask, rows_per_shard)
+        return mean, deg
+
+    return spmm
+
+
+def make_sharded_segmax(
+    axis: str,
+    e_src: jax.Array,  # [Em] LOCAL row index
+    e_dst: jax.Array,  # [Em] GLOBAL neighbor id
+    e_mask: jax.Array,  # [Em]
+    rows_per_shard: int,
+):
+    """Maxpool counterpart of :func:`make_sharded_spmm` (the ``segmax``
+    closure for the sharded layer-0 table): the pooling MLP runs on the
+    shard's local rows, the pooled values ``all_gather`` to ``[S*Np, pd]``,
+    and the guarded segment-max aggregates this shard's local edge slice —
+    the exact single-chip :func:`segment_max_csr` numerics."""
+    from graphsage_tpu.ops.aggregate import segment_max_csr
+
+    def segmax(pooled_local):
+        pooled_full = jax.lax.all_gather(pooled_local, axis, tiled=True)
+        per_edge = jnp.take(pooled_full, e_dst, axis=0)
+        agg = segment_max_csr(per_edge, e_src, e_mask, rows_per_shard)
+        return agg, None
+
+    return segmax
+
+
+def local_edges_from_adjacency(
+    indptr_local: jax.Array,  # [Np + 1] LOCAL csr offsets
+    edge_dst_local: jax.Array,  # [E_max] global neighbor ids
+    rows_per_shard: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Derive the COO edge slice the layer-0 closures need from a
+    :class:`ShardedAdjacency` shard's local CSR — no second copy of the
+    edges on the chip (FullyShardedTrainer's per-chip graph memory stays
+    ``E/S`` edges). Returns ``(e_src local rows, e_dst global, e_mask)``."""
+    pos = jnp.arange(edge_dst_local.shape[0], dtype=indptr_local.dtype)
+    e_src = jnp.clip(
+        jnp.searchsorted(indptr_local, pos, side="right") - 1,
+        0, rows_per_shard - 1,
+    ).astype(jnp.int32)
+    e_mask = pos < indptr_local[rows_per_shard]
+    return e_src, edge_dst_local, e_mask
+
+
 def sharded_row_gather(
     axis: str,
     table_local: jax.Array,  # [Np, F] — this chip's node range
@@ -250,6 +384,11 @@ def compact_sites(model: GraphSAGE, frontier) -> list:
     exchange will route."""
     L = model.num_layers
     sites = []
+    if model.layer0 == "full":
+        # One gather from the [N, d0] layer-0 table at the hop layer 1
+        # consumes (forward's layer0="full" branch) — every aggregator and
+        # self mode routes through this single site.
+        return [(frontier.ids[L - 1], frontier.masks[L - 1])]
     if model.aggregator == "mean":
         n_out = frontier.ids[L - 1].shape[0]
         k_cols = frontier.ids[L].shape[0] // n_out
@@ -270,8 +409,9 @@ def _frontier_slot_sizes(model: GraphSAGE, b_local: int) -> list[int]:
     static shapes :meth:`GraphSAGE.sample` produces, computed without
     tracing (integer fanouts only)."""
     L = model.num_layers
+    hops = L - 1 if model.layer0 == "full" else L
     sizes = [b_local]
-    for h in range(1, L + 1):
+    for h in range(1, hops + 1):
         k = model.fanouts[L - h]
         if k is None:
             raise ValueError(
@@ -291,6 +431,7 @@ def sharded_comm_stats(
     feature_dtype=jnp.float32,
     slack: float = 1.5,
     fully_sharded: bool = False,
+    num_nodes: int | None = None,
 ) -> dict:
     """Per-chip per-step communication VOLUME (bytes) of the sharded
     trainers, from static shapes alone — the capacity-planning numbers the
@@ -312,7 +453,12 @@ def sharded_comm_stats(
         ids=tuple(np.zeros(n, np.int32) for n in sizes),
         masks=tuple(np.ones(n, bool) for n in sizes),
     )
-    if model.aggregator == "mean" and model.use_project_first(0, model.in_dim):
+    if model.layer0 == "full":
+        # The single gather site reads d0-wide layer-0 table rows (in the
+        # compute dtype) — F/d0 times less than feature rows.
+        table_dtype = model.compute_dtype or feature_dtype
+        row_bytes = model.hidden_dims[0] * jnp.dtype(table_dtype).itemsize
+    elif model.aggregator == "mean" and model.use_project_first(0, model.in_dim):
         row_bytes = model.hidden_dims[0] * 4  # projected table is f32
     else:
         row_bytes = model.in_dim * jnp.dtype(feature_dtype).itemsize
@@ -335,11 +481,26 @@ def sharded_comm_stats(
         "gather_compact_vs_dense": dense / max(compact, 1),
         "sites": site_detail,
     }
+    if model.layer0 == "full" and num_nodes is not None:
+        # Building the local table slice all_gathers each shard's projected
+        # [Np, d_proj] rows once per step (forward; the backward
+        # psum_scatter moves the same volume again).
+        np_ = _round_up(max(-(-num_nodes // s), 1), 8)
+        d_proj = (
+            model.hidden_dims[0]
+            if model.use_project_first(0, model.in_dim)
+            else model.in_dim
+        )
+        itemsize = jnp.dtype(model.compute_dtype or feature_dtype).itemsize
+        out["layer0_allgather_bytes_per_chip_step"] = (
+            (s - 1) * np_ * d_proj * itemsize
+        )
     if fully_sharded:
         samp = 0
         hop_detail = []
         L = model.num_layers
-        for h in range(1, L + 1):
+        hops = L - 1 if model.layer0 == "full" else L
+        for h in range(1, hops + 1):
             q_h = sizes[h - 1]
             k = model.fanouts[L - h]
             cap = request_capacity(q_h, s, slack)
@@ -418,7 +579,17 @@ class ShardedFeatureTrainer(Trainer):
     gather; the ``eval_fanouts=None`` fallback builds a TRANSIENT device
     copy of the full graph for the deterministic full-neighborhood forward
     and frees it on return.
+
+    ``layer0="full"`` is supported: the shared-table layer 0 runs
+    distributed (each chip builds its local ``[Np, d0]`` table slice over
+    its own edge slice + one all_gather of the projected rows) and the
+    single remaining gather site exchanges d0-wide table rows — see
+    :func:`make_sharded_spmm` and :func:`sharded_comm_stats`.
     """
+
+    # FullyShardedTrainer derives the layer-0 edge slice from its sharded
+    # adjacency instead of a second host-side split (no duplicate edges).
+    _layer0_edges_from_adjacency = False
 
     def __init__(
         self,
@@ -432,12 +603,6 @@ class ShardedFeatureTrainer(Trainer):
     ):
         if gather_mode not in ("dense", "compact"):
             raise ValueError(f"unknown gather_mode {gather_mode!r}")
-        if model.layer0 == "full":
-            raise ValueError(
-                "layer0='full' computes a whole-table layer 0 per chip — "
-                "incompatible with node-sharded features; use the halo "
-                "FullGraphTrainer for distributed full-neighborhood layers"
-            )
         self.mesh = mesh
         self.axis = axis
         self.gather_mode = gather_mode
@@ -460,6 +625,21 @@ class ShardedFeatureTrainer(Trainer):
             graph.features, s, sharding=self._shard_sharding
         )
         self.feature_shards = self.features.shards
+        # layer0="full": the shared-table layer 0 runs DISTRIBUTED — each
+        # chip aggregates its node range's edges over the all_gathered
+        # (projected) rows, producing the LOCAL [Np, d0] table slice that
+        # the cross-shard gather then serves d0-wide rows from. The edge
+        # slices shard with the same ownership rule as the features.
+        # (FullyShardedTrainer derives them from its sharded adjacency
+        # instead — no second edge copy on the chip.)
+        if model.layer0 == "full" and not self._layer0_edges_from_adjacency:
+            self.edge_slices = shard_edge_slices(
+                graph, s, sharding=self._shard_sharding
+            )
+            self.edge_slice_leaves = self.edge_slices.leaves
+        else:
+            self.edge_slices = None
+            self.edge_slice_leaves = ()
         self._jit_step = jax.jit(self._sharded_step, donate_argnums=(0,))
 
     def _place_graph(self, graph):
@@ -503,8 +683,28 @@ class ShardedFeatureTrainer(Trainer):
             violated = violated | (cnt.max() > cap)
         return violated
 
+    # --------------------------------------------------- layer-0 full table
+    def _layer0_table_fn(self, edge_local):
+        """``(params, feats_local) -> local [Np, d0] table slice`` closure
+        for ``layer0="full"`` (None otherwise). ``edge_local`` is this
+        shard's ``(e_src, e_dst, e_mask, deg)`` — call inside shard_map.
+        The table math lives in :meth:`GraphSAGE.layer0_full_table`; only
+        the spmm/segmax closure differs (all_gather + local edge slice)."""
+        model = self.model
+        if model.layer0 != "full":
+            return None
+        np_ = self.features.rows_per_shard
+        e_src, e_dst, e_mask, deg = edge_local
+        if model.aggregator == "mean":
+            spmm = make_sharded_spmm(
+                self.axis, e_src, e_dst, e_mask, deg, np_
+            )
+            return lambda p, feats: model.layer0_full_table(p, feats, spmm=spmm)
+        segmax = make_sharded_segmax(self.axis, e_src, e_dst, e_mask, np_)
+        return lambda p, feats: model.layer0_full_table(p, feats, segmax=segmax)
+
     # ------------------------------------------------------------------ step
-    def _sharded_step(self, state, feature_shards, graph, seeds):
+    def _sharded_step(self, state, feature_shards, graph, edge_leaves, seeds):
         model = self.model
         axis = self.axis
         next_key, sample_key = jax.random.split(state.key)
@@ -516,18 +716,24 @@ class ShardedFeatureTrainer(Trainer):
             num_shards=self.mesh.shape[axis], slack=self.capacity_slack,
         )
 
-        def shard_step(params, shard, f_ids, f_masks, labels_local):
+        def shard_step(params, shard, edge_local, f_ids, f_masks, labels_local):
             local = Frontier(ids=f_ids, masks=f_masks)
             violated = (
                 self._local_sites_violated(local)
                 if self.gather_mode == "compact"
                 else jnp.zeros((), bool)
             )
+            table_fn = self._layer0_table_fn(
+                tuple(a[0] for a in edge_local)
+            ) if model.layer0 == "full" else None
 
             def loss_fn(p):
                 return model.loss(
                     p, shard[0], local, labels_local,
                     gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
+                    layer0_table=(
+                        table_fn(p, shard[0]) if table_fn is not None else None
+                    ),
                 )
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -546,13 +752,15 @@ class ShardedFeatureTrainer(Trainer):
             mesh=self.mesh,
             in_specs=(
                 P(), P(axis),
+                (P(axis),) * len(edge_leaves),
                 (P(axis),) * len(frontier.ids),
                 (P(axis),) * len(frontier.masks),
                 P(axis),
             ),
             out_specs=(P(), P(), P()),
             check_vma=False,
-        )(state.params, feature_shards, frontier.ids, frontier.masks, labels)
+        )(state.params, feature_shards, edge_leaves,
+          frontier.ids, frontier.masks, labels)
 
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -566,24 +774,25 @@ class ShardedFeatureTrainer(Trainer):
         )
 
     def _block_payload(self):
-        # Shard stack + no-feature graph as jit ARGS (never closure
-        # constants — see Trainer._block_payload).
-        return (self.feature_shards, self._graph_nofeat)
+        # Shard stack + no-feature graph + layer-0 edge slices as jit ARGS
+        # (never closure constants — see Trainer._block_payload).
+        return (self.feature_shards, self._graph_nofeat, self.edge_slice_leaves)
 
     def _train_block(self, state, payload, seeds_all):
         """Scanned block dispatch over the SHARDED step (the inherited block
         would fall back to the replicated-table step). ``payload`` is
-        ``(feature_shards, graph_nofeat)`` from ``_block_payload``.
+        ``(feature_shards, graph_nofeat, edge_slice_leaves)`` from
+        ``_block_payload``.
 
         Capacity violations ride out as the per-step bool lane so ``run()``
         raises with the exact step index — a violated step's loss is still
         the clipped-rows value, but the run aborts before acting on it.
         """
-        feature_shards, graph = payload
+        feature_shards, graph, edge_leaves = payload
 
         def body(st, seeds):
             st, loss, violated = self._sharded_step(
-                st, feature_shards, graph, seeds
+                st, feature_shards, graph, edge_leaves, seeds
             )
             return st, (loss, violated)
 
@@ -591,8 +800,8 @@ class ShardedFeatureTrainer(Trainer):
         return state, losses, violated
 
     # ------------------------------------------------------------------ eval
-    def _eval_logits_sharded(self, params, feature_shards, graph, seeds,
-                             mode=None):
+    def _eval_logits_sharded(self, params, feature_shards, graph,
+                             edge_leaves, seeds, mode=None):
         """Sampled eval logits through the node-sharded gather (same
         machinery as the training step, fixed key — the reference's
         sampled-eval observable without replicating the table). ``mode``
@@ -610,16 +819,24 @@ class ShardedFeatureTrainer(Trainer):
             num_shards=self.mesh.shape[self.axis], slack=self.capacity_slack,
         )
 
-        def shard_fwd(params, shard, f_ids, f_masks):
+        def shard_fwd(params, shard, edge_local, f_ids, f_masks):
             local = Frontier(ids=f_ids, masks=f_masks)
             violated = (
                 self._local_sites_violated(local, model)  # eval fanouts
                 if mode == "compact"
                 else jnp.zeros((), bool)
             )
+            table_fn = self._layer0_table_fn(
+                tuple(a[0] for a in edge_local)
+            ) if model.layer0 == "full" else None
             logits = model.forward(
                 params, shard[0], local,
                 gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
+                layer0_table=(
+                    table_fn(params, shard[0])
+                    if table_fn is not None
+                    else None
+                ),
             )
             violated = jax.lax.psum(
                 violated.astype(jnp.int32), self.axis
@@ -631,12 +848,13 @@ class ShardedFeatureTrainer(Trainer):
             mesh=self.mesh,
             in_specs=(
                 P(), P(self.axis),
+                (P(self.axis),) * len(edge_leaves),
                 (P(self.axis),) * len(frontier.ids),
                 (P(self.axis),) * len(frontier.masks),
             ),
             out_specs=(P(self.axis), P()),
             check_vma=False,
-        )(params, feature_shards, frontier.ids, frontier.masks)
+        )(params, feature_shards, edge_leaves, frontier.ids, frontier.masks)
 
     def predict(self, state, nodes):
         """Sampled eval stays node-sharded when ``eval_fanouts`` is set;
@@ -662,7 +880,8 @@ class ShardedFeatureTrainer(Trainer):
             self._jit_eval_logits_dense = None
         seeds_dev = jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl)
         logits, violated = self._jit_eval_logits(
-            state.params, self.feature_shards, self._graph_nofeat, seeds_dev
+            state.params, self.feature_shards, self._graph_nofeat,
+            self.edge_slice_leaves, seeds_dev,
         )
         if bool(violated):
             # Never fail a finished run over an eval-frontier shape: redo
@@ -682,7 +901,7 @@ class ShardedFeatureTrainer(Trainer):
                 )
             logits, _ = self._jit_eval_logits_dense(
                 state.params, self.feature_shards, self._graph_nofeat,
-                seeds_dev,
+                self.edge_slice_leaves, seeds_dev,
             )
         return np.asarray(jnp.argmax(logits, axis=-1))[: len(nodes)]
 
@@ -690,7 +909,8 @@ class ShardedFeatureTrainer(Trainer):
     def step(self, state, seeds):
         seeds = jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl)
         state, loss, violated = self._jit_step(
-            state, self.feature_shards, self._graph_nofeat, seeds
+            state, self.feature_shards, self._graph_nofeat,
+            self.edge_slice_leaves, seeds,
         )
         if bool(violated):
             raise ValueError(
@@ -865,8 +1085,11 @@ def sharded_sample_frontier(
     masks = [jnp.ones(seeds_local.shape, bool)]
     violated = jnp.zeros((), bool)
     L = model.num_layers
-    hop_keys = jax.random.split(key, L)
-    for h in range(1, L + 1):
+    # layer0="full" skips the deepest hop (layer 0 runs full-graph over the
+    # sharded node ranges instead) — mirrors GraphSAGE.sample exactly.
+    hops = L - 1 if model.layer0 == "full" else L
+    hop_keys = jax.random.split(key, max(hops, 1))
+    for h in range(1, hops + 1):
         fanout = model.fanouts[L - h]
         parent_ids, parent_mask = ids[-1], masks[-1]
         cap = request_capacity(int(parent_ids.shape[0]), s, slack)
@@ -896,7 +1119,15 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
     single-device trainer in general — parity is pinned where sampling is
     deterministic (``fanout >= max degree`` / ``fanout=None``), plus
     shape/mask invariants (tests/test_feature_store.py).
+
+    ``layer0="full"`` derives the layer-0 edge slice from the sharded
+    adjacency itself (:func:`local_edges_from_adjacency`) — per-chip graph
+    memory stays ``E/S`` edges, no second edge copy.
     """
+
+    # Layer-0 edge slices come from the sharded adjacency's local CSR, not
+    # a second host-side split (see ShardedFeatureTrainer.__init__).
+    _layer0_edges_from_adjacency = True
 
     def __init__(self, model, graph, config, mesh, axis="data",
                  capacity_slack: float = 1.5):
@@ -907,6 +1138,10 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
         self.adjacency = shard_adjacency(
             graph, mesh.shape[axis], sharding=self._shard_sharding
         )
+        # Feature and adjacency shards share one ownership rule; the layer-0
+        # spmm closure indexes the all_gathered table by global node id,
+        # which requires identical row padding.
+        assert self.adjacency.rows_per_shard == self.features.rows_per_shard
         self.adjacency_shards = (
             self.adjacency.ell, self.adjacency.degrees,
             self.adjacency.indptr, self.adjacency.edge_dst,
@@ -930,6 +1165,20 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
         )
         return blanked.to_device()
 
+    def _layer0_table_fn_adj(self, adj_local):
+        """``layer0="full"`` table closure from this shard's adjacency
+        leaves ``(ell, deg, indptr, edge_dst)`` — the COO edge slice is
+        derived in-trace from the local CSR (no duplicate edges on chip),
+        then delegates to :meth:`_layer0_table_fn`. Call inside shard_map;
+        returns None when layer0 is sampled."""
+        if self.model.layer0 != "full":
+            return None
+        _ell, deg, indptr, edge_dst = adj_local
+        e_src, e_dst, e_mask = local_edges_from_adjacency(
+            indptr, edge_dst, self.adjacency.rows_per_shard
+        )
+        return self._layer0_table_fn((e_src, e_dst, e_mask, deg))
+
     def _fully_sharded_step(self, state, feature_shards, adj_leaves, seeds):
         model = self.model
         axis = self.axis
@@ -948,11 +1197,17 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
             )
             # Feature-gather sites overflow independently of sampling hops.
             violated = violated | self._local_sites_violated(frontier)
+            table_fn = self._layer0_table_fn_adj(
+                tuple(a[0] for a in adj_local)
+            )
 
             def loss_fn(p):
                 return model.loss(
                     p, shard[0], frontier, labels_local,
                     gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
+                    layer0_table=(
+                        table_fn(p, shard[0]) if table_fn is not None else None
+                    ),
                 )
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -1046,9 +1301,17 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
             violated = violated | self._local_sites_violated(
                 frontier, model, slack=slack
             )
+            table_fn = self._layer0_table_fn_adj(
+                tuple(a[0] for a in adj_local)
+            )
             logits = model.forward(
                 params, shard[0], frontier,
                 gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
+                layer0_table=(
+                    table_fn(params, shard[0])
+                    if table_fn is not None
+                    else None
+                ),
             )
             violated = jax.lax.psum(violated.astype(jnp.int32), axis) > 0
             return logits, violated

@@ -23,10 +23,13 @@ def graph():
                            num_classes=5, seed=2, homophily=0.8)
 
 
-@pytest.mark.parametrize("mode", ["plain", "concat_self", "self_loop"])
+@pytest.mark.parametrize(
+    "mode", ["plain", "concat_self", "self_loop", "maxpool", "maxpool_self_loop"]
+)
 def test_layer0_full_matches_sampled_at_covering_fanouts(graph, mode):
     """With fanout >= max degree, sampled layer 0 sees complete
-    neighborhoods — so the shared-table forward must agree exactly."""
+    neighborhoods — so the shared-table forward must agree exactly
+    (mean: identical denominators; maxpool: max over the same set)."""
     max_deg = int(np.asarray(graph.degrees).max())
     kw = dict(
         in_dim=graph.num_features, num_classes=graph.num_classes,
@@ -37,6 +40,11 @@ def test_layer0_full_matches_sampled_at_covering_fanouts(graph, mode):
         kw["concat_self"] = True
     elif mode == "self_loop":
         kw["self_loop"] = True
+    elif mode.startswith("maxpool"):
+        kw["aggregator"] = "maxpool"
+        kw["pool_dim"] = 12
+        if mode == "maxpool_self_loop":
+            kw["self_loop"] = True
     sampled = GraphSAGE(**kw)
     full = dataclasses.replace(sampled, layer0="full")
     params = sampled.init(jax.random.PRNGKey(0))
@@ -67,24 +75,92 @@ def test_layer0_full_trains_end_to_end(graph):
 
 
 def test_layer0_full_guards():
-    with pytest.raises(ValueError, match="mean"):
-        GraphSAGE(in_dim=8, num_classes=2, hidden_dims=(4, 4), fanouts=(2, 2),
-                  aggregator="maxpool", pool_dim=4, concat_self=True,
-                  layer0="full")
     with pytest.raises(ValueError, match="layer0"):
         GraphSAGE(in_dim=8, num_classes=2, hidden_dims=(4,), fanouts=(2,),
                   layer0="bogus")
 
 
-def test_layer0_full_rejected_by_sharded_trainer(graph):
+def test_layer0_full_maxpool_trains_end_to_end(graph):
+    model = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
+                      hidden_dims=(16, 16), fanouts=(4, 4), layer0="full",
+                      aggregator="maxpool", pool_dim=16)
+    cfg = TrainConfig(batch_size=64, num_steps=12, learning_rate=0.3,
+                      test_size=60, val_size=60, log_every=0,
+                      steps_per_dispatch=6)
+    res = Trainer(model, graph, cfg).run(log=None)
+    assert np.isfinite(res["losses"]).all()
+    assert res["losses"][-1] < res["losses"][0]
+
+
+@pytest.mark.parametrize("mode", ["dense", "compact", "maxpool"])
+def test_layer0_full_sharded_trainer_parity(graph, mode):
+    """The distributed shared-table layer 0 (per-shard edge slice +
+    all_gather of the projected rows) must stay in lockstep with the
+    single-device trainer — sampling is replicated, so losses and params
+    match step for step."""
     from graphsage_tpu.parallel.feature_store import ShardedFeatureTrainer
     from graphsage_tpu.parallel.mesh import make_mesh
 
-    model = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
-                      hidden_dims=(8, 8), fanouts=(4, 4), layer0="full")
-    cfg = TrainConfig(batch_size=32, num_steps=1, test_size=60, val_size=60)
-    with pytest.raises(ValueError, match="layer0"):
-        ShardedFeatureTrainer(model, graph, cfg, make_mesh({"data": 8}))
+    kw = dict(
+        in_dim=graph.num_features, num_classes=graph.num_classes,
+        hidden_dims=(8, 8), fanouts=(4, 4), layer0="full",
+        gather_impl="take", matmul_precision="highest",
+    )
+    gather_mode = mode
+    if mode == "maxpool":
+        kw.update(aggregator="maxpool", pool_dim=8, self_loop=True)
+        gather_mode = "compact"
+    model = GraphSAGE(**kw)
+    cfg = TrainConfig(batch_size=32, num_steps=3, learning_rate=0.5,
+                      test_size=60, val_size=60, log_every=0)
+    single = Trainer(model, graph, cfg)
+    sharded = ShardedFeatureTrainer(
+        model, graph, cfg, make_mesh({"data": 8}), gather_mode=gather_mode
+    )
+    s1, s2 = single.init_state(), sharded.init_state()
+    it1, it2 = single.batches(), sharded.batches()
+    for _ in range(cfg.num_steps):
+        s1, l1 = single.step(s1, next(it1))
+        s2, l2 = sharded.step(s2, next(it2))
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5, atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        ),
+        s1.params, s2.params,
+    )
+
+
+def test_layer0_full_fully_sharded_parity(graph):
+    """FullyShardedTrainer builds the layer-0 table over its sharded
+    adjacency (edge slice derived from the local CSR — no duplicate edge
+    copy). At covering fanouts distributed sampling is deterministic, so
+    training AND the distributed eval match the single-device trainer."""
+    from graphsage_tpu.parallel.feature_store import FullyShardedTrainer
+    from graphsage_tpu.parallel.mesh import make_mesh
+
+    max_deg = int(np.asarray(graph.degrees).max())
+    model = GraphSAGE(
+        in_dim=graph.num_features, num_classes=graph.num_classes,
+        hidden_dims=(8, 8), fanouts=(max_deg, max_deg), layer0="full",
+        gather_impl="take", matmul_precision="highest",
+    )
+    cfg = TrainConfig(batch_size=32, num_steps=2, learning_rate=0.5,
+                      test_size=60, val_size=60, log_every=0,
+                      eval_fanouts=(max_deg, max_deg))
+    single = Trainer(model, graph, cfg)
+    fully = FullyShardedTrainer(model, graph, cfg, make_mesh({"data": 8}),
+                                capacity_slack=8.0)
+    s1, s2 = single.init_state(), fully.init_state()
+    it1, it2 = single.batches(), fully.batches()
+    for _ in range(cfg.num_steps):
+        s1, l1 = single.step(s1, next(it1))
+        s2, l2 = fully.step(s2, next(it2))
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5, atol=1e-6)
+    nodes = np.arange(48)
+    np.testing.assert_array_equal(
+        single.predict(s1, nodes), fully.predict(s2, nodes)
+    )
 
 
 def test_layer0_full_single_layer_model(graph):
