@@ -352,6 +352,12 @@ def main() -> None:
                         for name, row in rows.items()
                     },
                     "sharded_comm_volume_s8_cora": comm_s8,
+                    # layer0="full" sharded: d0-wide gather rows + the
+                    # per-step all_gather of the projected table rows.
+                    "sharded_comm_volume_s8_pubmed_layer0_full": (
+                        sharded_comm_stats(pubmed_model_full, 1024, 8,
+                                           num_nodes=19717)
+                    ),
                     "learning_floor_violations": violations,
                     "device": str(jax.devices()[0]),
                 },

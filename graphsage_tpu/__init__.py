@@ -27,6 +27,7 @@ from graphsage_tpu.parallel.feature_store import (
 )
 from graphsage_tpu.parallel.halo import auto_partition_plan, build_node_partition
 from graphsage_tpu.parallel.mesh import make_mesh
+from graphsage_tpu.serve import ServingEngine
 from graphsage_tpu.train.config import ExperimentConfig, ModelConfig, TrainConfig
 from graphsage_tpu.train.experiments import run_cora, run_preset, run_pubmed
 from graphsage_tpu.train.full_graph import FullGraphTrainer
@@ -53,6 +54,7 @@ __all__ = [
     "auto_partition_plan",
     "build_node_partition",
     "make_mesh",
+    "ServingEngine",
     "TrainState",
     "run_cora",
     "run_pubmed",

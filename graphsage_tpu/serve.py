@@ -1,0 +1,180 @@
+"""Serving engine: low-latency inference on a trained GraphSAGE model.
+
+The reference's only inference surface is ``graphsage.forward(val)`` inside
+its training script (reference graphsage/model.py:104-105) — one stochastic
+sampled forward on whatever nodes the script asks about. This module makes
+serving a first-class engine with the two deployment shapes that matter on
+TPU:
+
+* ``mode="table"`` (default) — the **embedding-table** tier: one
+  deterministic full-graph forward (complete neighborhoods, quirk Q7
+  semantics) refreshes an ``[N, d_L]`` embedding table per parameter
+  update, and every request after that is a single row gather plus the
+  ``[d_L, C]`` head matmul. Request cost is O(B·d_L) — no sampling, no
+  aggregation, no graph traversal; the whole-graph refresh is the
+  amortized cost (~13 ms at 100K nodes / 2M edge slots, docs/SERVING.md).
+  This is the TPU-native answer to "score nodes against the current
+  model": the MXU-heavy work happens once per model version, off the
+  request path.
+
+* ``mode="sampled"`` — the reference-observable stochastic forward
+  (SURVEY §3.3: the reference samples at eval time too), jitted with a
+  fixed key so identical requests return identical answers. Per-request
+  cost scales with ``B·prod(fanouts)``; ``layer0="full"`` models reuse
+  their shared-table layer 0 automatically.
+
+Requests pad to a small set of static batch **buckets**, so steady-state
+serving never recompiles (XLA traces once per bucket, not per request
+size).
+
+Checkpoints: restore a ``TrainState`` with
+``graphsage_tpu.utils.checkpoint.restore_checkpoint`` (the deployment loop
+in docs/SERVING.md) and hand ``state.params`` to the engine; ``refresh``
+swaps parameters on a live engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphsage_tpu.data.graph import Graph
+from graphsage_tpu.models.graphsage import GraphSAGE, SAGEParams
+
+
+class ServingEngine:
+    """Compiled request path over a trained model. See module docstring.
+
+    Parameters
+    ----------
+    model, graph : the trained architecture and the (serving-time) graph.
+        Host-resident graphs (``placement="host"``) are device-placed once
+        at construction — serving reads them on every refresh/request.
+    params : trained :class:`SAGEParams` (e.g. ``state.params`` from a
+        restored checkpoint).
+    mode : ``"table"`` or ``"sampled"``.
+    batch_buckets : static request sizes to compile for; a request pads to
+        the smallest bucket that fits (or to a multiple of the largest).
+    eval_fanouts : sampled mode only — override the model's training
+        fanouts for serving (``None`` entries mean full neighborhoods).
+    seed : sampled mode only — fixes the sampling key (identical requests
+        return identical answers; vary per engine to decorrelate replicas).
+    """
+
+    def __init__(
+        self,
+        model: GraphSAGE,
+        graph: Graph,
+        params: SAGEParams,
+        *,
+        mode: str = "table",
+        batch_buckets: tuple[int, ...] = (256, 1024),
+        eval_fanouts: tuple[int | None, ...] | None = None,
+        seed: int = 0,
+    ):
+        if mode not in ("table", "sampled"):
+            raise ValueError(f"unknown serving mode {mode!r}")
+        if not batch_buckets or any(b <= 0 for b in batch_buckets):
+            raise ValueError("batch_buckets must be positive ints")
+        self.model = model
+        self.graph = graph.to_device() if graph.on_host else graph
+        self.mode = mode
+        self.buckets = tuple(sorted(set(int(b) for b in batch_buckets)))
+        self.params = params
+        self._key = jax.random.PRNGKey(seed + 7)  # Trainer's eval key rule
+        self._table = None
+
+        if mode == "table":
+            self._refresh_jit = jax.jit(self.model.embed_full_graph)
+
+            def _serve(table, head, ids):
+                rows = jnp.take(table, ids, axis=0)
+                logits = jnp.einsum(
+                    "bd,dc->bc", rows, head.astype(rows.dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=self.model.matmul_precision,
+                )
+                return rows, logits.astype(jnp.float32)
+
+            self._serve_jit = jax.jit(_serve)
+        else:
+            smodel = model
+            if eval_fanouts is not None:
+                smodel = dataclasses.replace(model, fanouts=tuple(eval_fanouts))
+            self._smodel = smodel
+
+            def _serve(params, key, graph, seeds):
+                frontier = smodel.sample(key, graph, seeds)
+                embeds = smodel.forward(
+                    params, graph.features, frontier,
+                    return_embeddings=True, graph=graph,
+                )
+                logits = jnp.einsum(
+                    "bd,dc->bc", embeds, params.head.astype(embeds.dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=smodel.matmul_precision,
+                )
+                return embeds, logits.astype(jnp.float32)
+
+            self._serve_jit = jax.jit(_serve)
+        self.refresh(params)
+
+    # ------------------------------------------------------------- refresh
+    def refresh(self, params: SAGEParams) -> None:
+        """Install new parameters (one full-graph forward in table mode —
+        the per-model-update cost; free in sampled mode)."""
+        self.params = params
+        if self.mode == "table":
+            self._table = self._refresh_jit(params, self.graph)
+
+    @property
+    def table(self) -> jax.Array | None:
+        """The current ``[N, d_L]`` embedding table (table mode), e.g. for
+        bulk export or downstream tasks."""
+        return self._table
+
+    # ------------------------------------------------------------ requests
+    def _pad(self, nodes) -> tuple[jax.Array, int]:
+        ids = np.asarray(nodes, dtype=np.int32).reshape(-1)
+        n = ids.shape[0]
+        if n == 0:
+            raise ValueError("empty request")
+        for b in self.buckets:
+            if n <= b:
+                padded = b
+                break
+        else:
+            big = self.buckets[-1]
+            padded = -(-n // big) * big
+        out = np.zeros(padded, np.int32)
+        out[:n] = ids
+        return jnp.asarray(out), n
+
+    def _logits(self, nodes) -> tuple[jax.Array, jax.Array, int]:
+        ids, n = self._pad(nodes)
+        if self.mode == "table":
+            rows, logits = self._serve_jit(self._table, self.params.head, ids)
+        else:
+            rows, logits = self._serve_jit(
+                self.params, self._key, self.graph, ids
+            )
+        return rows, logits, n
+
+    def logits(self, nodes) -> np.ndarray:
+        """``[B, C]`` class scores for the requested nodes."""
+        _, logits, n = self._logits(nodes)
+        return np.asarray(logits)[:n]
+
+    def predict(self, nodes) -> np.ndarray:
+        """``[B]`` argmax class predictions."""
+        _, logits, n = self._logits(nodes)
+        return np.asarray(jnp.argmax(logits, axis=-1))[:n]
+
+    def embed(self, nodes) -> np.ndarray:
+        """``[B, d_L]`` node representations (the reference's
+        ``enc(nodes)`` surface, model.py:31)."""
+        rows, _, n = self._logits(nodes)
+        return np.asarray(rows, dtype=np.float32)[:n]

@@ -1,0 +1,120 @@
+"""ServingEngine: table-mode parity with the deterministic trainer eval,
+sampled-mode determinism, bucket padding, refresh semantics
+(docs/SERVING.md; reference inference surface = model.py:104-105)."""
+
+import jax
+import numpy as np
+import pytest
+
+from graphsage_tpu.data.graph import build_graph
+from graphsage_tpu.data.synthetic import power_law_graph
+from graphsage_tpu.models.graphsage import GraphSAGE
+from graphsage_tpu.serve import ServingEngine
+from graphsage_tpu.train.config import TrainConfig
+from graphsage_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return power_law_graph(num_nodes=300, num_edges=1200, num_feats=32,
+                           num_classes=4, seed=3, homophily=0.8)
+
+
+@pytest.fixture(scope="module")
+def trained(graph):
+    model = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
+                      hidden_dims=(16, 16), fanouts=(5, 5),
+                      matmul_precision="highest")
+    cfg = TrainConfig(batch_size=64, num_steps=8, learning_rate=0.5,
+                      test_size=60, val_size=60, log_every=0)
+    tr = Trainer(model, graph, cfg)
+    st = tr.init_state()
+    it = tr.batches()
+    for _ in range(cfg.num_steps):
+        st, _ = tr.step(st, next(it))
+    return model, tr, st
+
+
+def test_table_mode_matches_deterministic_eval(graph, trained):
+    model, tr, st = trained
+    eng = ServingEngine(model, graph, st.params, batch_buckets=(64,))
+    nodes = np.arange(graph.num_nodes)
+    np.testing.assert_array_equal(eng.predict(nodes), tr.predict(st, nodes))
+    # The exported table IS embed_full_graph.
+    np.testing.assert_allclose(
+        np.asarray(eng.table),
+        np.asarray(model.embed_full_graph(st.params, graph)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_bucket_padding_and_repeats(graph, trained):
+    model, _, st = trained
+    eng = ServingEngine(model, graph, st.params, batch_buckets=(16, 64))
+    # Sizes below, between, and beyond the buckets (beyond -> multiple of 64),
+    # with repeated ids — results must be per-row independent of padding.
+    whole = eng.logits(np.arange(200))
+    for ids in ([3], [7, 7, 7], list(range(40)), list(range(150))):
+        got = eng.logits(np.asarray(ids))
+        assert got.shape == (len(ids), graph.num_classes)
+        np.testing.assert_allclose(got, whole[np.asarray(ids)],
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_refresh_swaps_parameters(graph, trained):
+    model, _, st = trained
+    eng = ServingEngine(model, graph, st.params, batch_buckets=(32,))
+    before = eng.logits(np.arange(32))
+    fresh = model.init(jax.random.PRNGKey(99))
+    eng.refresh(fresh)
+    after = eng.logits(np.arange(32))
+    assert not np.allclose(before, after)
+    eng.refresh(st.params)
+    np.testing.assert_allclose(eng.logits(np.arange(32)), before,
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sampled_mode_deterministic_and_covering_parity(graph, trained):
+    model, _, st = trained
+    max_deg = int(np.asarray(graph.degrees).max())
+    eng_s = ServingEngine(model, graph, st.params, mode="sampled",
+                          batch_buckets=(64,),
+                          eval_fanouts=(max_deg, max_deg))
+    nodes = np.arange(64)
+    a, b = eng_s.logits(nodes), eng_s.logits(nodes)
+    np.testing.assert_array_equal(a, b)  # fixed key -> identical answers
+    # Covering fanouts see complete neighborhoods == the table tier.
+    eng_t = ServingEngine(model, graph, st.params, batch_buckets=(64,))
+    np.testing.assert_allclose(a, eng_t.logits(nodes), rtol=1e-4, atol=1e-5)
+
+
+def test_embed_surface(graph, trained):
+    model, _, st = trained
+    eng = ServingEngine(model, graph, st.params, batch_buckets=(16,))
+    e = eng.embed(np.arange(10))
+    assert e.shape == (10, model.hidden_dims[-1])
+    assert e.dtype == np.float32
+
+
+def test_host_graph_is_device_placed():
+    edges = np.array([[0, 1], [1, 2], [2, 3], [3, 0], [4, 5], [5, 0]])
+    feats = np.arange(6 * 4, dtype=np.float32).reshape(6, 4)
+    labels = np.array([0, 1, 0, 1, 0, 1])
+    host = build_graph(feats, labels, edges, num_classes=2, placement="host")
+    assert host.on_host
+    model = GraphSAGE(in_dim=host.num_features, num_classes=host.num_classes,
+                      hidden_dims=(8, 8), fanouts=(3, 3))
+    eng = ServingEngine(model, host, model.init(jax.random.PRNGKey(0)),
+                        batch_buckets=(8,))
+    assert eng.predict([0, 1, 2]).shape == (3,)
+
+
+def test_guards(graph, trained):
+    model, _, st = trained
+    with pytest.raises(ValueError, match="mode"):
+        ServingEngine(model, graph, st.params, mode="stream")
+    with pytest.raises(ValueError, match="batch_buckets"):
+        ServingEngine(model, graph, st.params, batch_buckets=())
+    eng = ServingEngine(model, graph, st.params, batch_buckets=(8,))
+    with pytest.raises(ValueError, match="empty"):
+        eng.predict(np.zeros(0, np.int32))
