@@ -844,6 +844,8 @@ def halo_full_graph_logits(
     mesh: Mesh,
     axis: str = "graph",
     h0: jax.Array | None = None,
+    return_embeddings: bool = False,
+    stacked: bool = False,
 ) -> jax.Array:
     """Full-graph logits ``[N, C]`` with halo-exchange aggregation.
 
@@ -854,7 +856,12 @@ def halo_full_graph_logits(
     jit *argument* from training loops: a closed-over ``part.h0`` becomes an
     HLO constant, and XLA then constant-folds the whole first-layer
     aggregation at compile time (minutes-long compiles at 100K+ nodes).
-    """
+
+    ``return_embeddings`` skips the head (rows are the ``[.., d_L]`` layer
+    the head consumes); ``stacked=True`` returns the raw ``[S, Np, ·]``
+    shard-stacked layout WITHOUT the replicating unpermute — the sharded
+    serving table (each chip keeps only its shard's rows; positions map
+    through ``part.stacked_index``)."""
     from graphsage_tpu.models.layers import (
         apply_full_graph_maxpool_layer,
         apply_full_graph_mean_layer,
@@ -888,18 +895,22 @@ def halo_full_graph_logits(
                     self_loop=model.self_loop,
                     precision=model.matmul_precision,
                 )
+        if return_embeddings:
+            return h.astype(jnp.float32)
         logits = jnp.einsum(
             "snd,dc->snc", h, params.head.astype(h.dtype),
             preferred_element_type=jnp.float32, precision=model.matmul_precision,
         )
         return logits.astype(jnp.float32)
 
-    stacked = shard_map(
+    out = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=P(axis),
     )(part.h0 if h0 is None else h0, _exchange_arrays(part))
 
-    flat = stacked.reshape(part.num_shards * part.nodes_per_shard, -1)
+    if stacked:
+        return out
+    flat = out.reshape(part.num_shards * part.nodes_per_shard, -1)
     return jnp.take(flat, part.stacked_index, axis=0)

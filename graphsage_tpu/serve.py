@@ -23,6 +23,14 @@ TPU:
   cost scales with ``B·prod(fanouts)``; ``layer0="full"`` models reuse
   their shared-table layer 0 automatically.
 
+Pass ``mesh=`` to make the table tier **sharded**: the refresh runs the
+halo-exchange full-graph forward over a node partition (features enter
+shard-stacked — ``N/S·F`` rows per chip, boundary rows exchanged per
+layer) and the resulting table stays ``[S, N/S, d_L]``-sharded; requests
+gather rows cross-shard (XLA inserts the collective). Nothing graph-sized
+is replicated on any chip — the serving counterpart of the sharded
+trainers' memory story (docs/DISTRIBUTED.md).
+
 Requests pad to a small set of static batch **buckets**, so steady-state
 serving never recompiles (XLA traces once per bucket, not per request
 size).
@@ -62,6 +70,10 @@ class ServingEngine:
         fanouts for serving (``None`` entries mean full neighborhoods).
     seed : sampled mode only — fixes the sampling key (identical requests
         return identical answers; vary per engine to decorrelate replicas).
+    mesh, axis, partition : table mode only — shard the tier over
+        ``mesh.shape[axis]`` chips (module docstring). ``partition`` is a
+        prebuilt :class:`NodePartition`; by default one is built with the
+        auto halo levers (``order="auto"``).
     """
 
     def __init__(
@@ -74,19 +86,69 @@ class ServingEngine:
         batch_buckets: tuple[int, ...] = (256, 1024),
         eval_fanouts: tuple[int | None, ...] | None = None,
         seed: int = 0,
+        mesh=None,
+        axis: str = "graph",
+        partition=None,
     ):
         if mode not in ("table", "sampled"):
             raise ValueError(f"unknown serving mode {mode!r}")
         if not batch_buckets or any(b <= 0 for b in batch_buckets):
             raise ValueError("batch_buckets must be positive ints")
+        if mesh is not None and mode != "table":
+            raise ValueError(
+                "sharded serving is table-mode only (sampled serving at "
+                "scale is FullyShardedTrainer.predict)"
+            )
         self.model = model
-        self.graph = graph.to_device() if graph.on_host else graph
         self.mode = mode
         self.buckets = tuple(sorted(set(int(b) for b in batch_buckets)))
         self.params = params
         self._key = jax.random.PRNGKey(seed + 7)  # Trainer's eval key rule
         self._table = None
+        self.mesh = mesh
+        self._pos = None  # global id -> table row (sharded tier)
 
+        if mesh is not None:
+            # Sharded table tier: halo full-graph refresh over a node
+            # partition (the graph never needs device placement here — the
+            # partition's stacked payloads are the only graph-sized device
+            # arrays, and they shard). Positions remap through the
+            # partition's stacked layout on the host.
+            from graphsage_tpu.parallel.halo import (
+                build_node_partition,
+                halo_full_graph_logits,
+            )
+
+            self.graph = graph
+            if partition is None:
+                partition = build_node_partition(
+                    graph, mesh.shape[axis], order="auto"
+                )
+            self.partition = partition
+            self._h0_payload = partition.h0  # jit ARG (never a constant)
+            self._refresh_jit = jax.jit(
+                lambda p, h0: halo_full_graph_logits(
+                    model, p, partition, mesh, axis, h0=h0,
+                    return_embeddings=True, stacked=True,
+                )
+            )
+            self._pos = np.asarray(partition.stacked_index)
+
+            def _serve(table, head, pos):
+                flat = table.reshape(-1, table.shape[-1])
+                rows = jnp.take(flat, pos, axis=0)
+                logits = jnp.einsum(
+                    "bd,dc->bc", rows, head.astype(rows.dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=self.model.matmul_precision,
+                )
+                return rows, logits.astype(jnp.float32)
+
+            self._serve_jit = jax.jit(_serve)
+            self.refresh(params)
+            return
+
+        self.graph = graph.to_device() if graph.on_host else graph
         if mode == "table":
             self._refresh_jit = jax.jit(self.model.embed_full_graph)
 
@@ -127,13 +189,17 @@ class ServingEngine:
         """Install new parameters (one full-graph forward in table mode —
         the per-model-update cost; free in sampled mode)."""
         self.params = params
-        if self.mode == "table":
+        if self.mesh is not None:
+            self._table = self._refresh_jit(params, self._h0_payload)
+        elif self.mode == "table":
             self._table = self._refresh_jit(params, self.graph)
 
     @property
     def table(self) -> jax.Array | None:
-        """The current ``[N, d_L]`` embedding table (table mode), e.g. for
-        bulk export or downstream tasks."""
+        """The current embedding table (table mode): ``[N, d_L]``, or the
+        shard-stacked ``[S, N/S, d_L]`` sharded array under ``mesh=`` (row
+        of global node ``v`` = ``partition.stacked_index[v]`` after
+        flattening). For bulk export or downstream tasks."""
         return self._table
 
     # ------------------------------------------------------------ requests
@@ -151,10 +217,14 @@ class ServingEngine:
             padded = -(-n // big) * big
         out = np.zeros(padded, np.int32)
         out[:n] = ids
-        return jnp.asarray(out), n
+        return out, n
 
     def _logits(self, nodes) -> tuple[jax.Array, jax.Array, int]:
-        ids, n = self._pad(nodes)
+        ids_np, n = self._pad(nodes)
+        if self._pos is not None:
+            # Sharded tier: remap global ids to their stacked-table rows.
+            ids_np = self._pos[ids_np].astype(np.int32)
+        ids = jnp.asarray(ids_np)
         if self.mode == "table":
             rows, logits = self._serve_jit(self._table, self.params.head, ids)
         else:

@@ -31,6 +31,13 @@ MODES = [
     dict(aggregator="maxpool", pool_dim=12),
     dict(aggregator="maxpool", pool_dim=12, concat_self=True),
     dict(aggregator="maxpool", pool_dim=12, self_loop=True),
+    # Shared-table layer 0 is exact (not just estimator-equal) with full
+    # neighborhoods — so it belongs to the same invariant.
+    dict(aggregator="mean", layer0="full"),
+    dict(aggregator="mean", concat_self=True, layer0="full"),
+    dict(aggregator="mean", self_loop=True, layer0="full"),
+    dict(aggregator="maxpool", pool_dim=12, layer0="full"),
+    dict(aggregator="maxpool", pool_dim=12, self_loop=True, layer0="full"),
 ]
 
 
@@ -47,12 +54,14 @@ def test_sampled_no_fanout_equals_full_graph(graph, mode):
     frontier = model.sample(
         jax.random.PRNGKey(12), graph, jnp.arange(graph.num_nodes, dtype=jnp.int32)
     )
-    sampled = model.forward(params, graph.features, frontier)
+    fwd_kwargs = {"graph": graph} if mode.get("layer0") == "full" else {}
+    sampled = model.forward(params, graph.features, frontier, **fwd_kwargs)
     np.testing.assert_allclose(
         np.asarray(sampled), np.asarray(full), rtol=1e-4, atol=1e-5
     )
     # Embeddings agree the same way.
-    emb_s = model.forward(params, graph.features, frontier, return_embeddings=True)
+    emb_s = model.forward(params, graph.features, frontier,
+                          return_embeddings=True, **fwd_kwargs)
     emb_f = model.embed_full_graph(params, graph)
     np.testing.assert_allclose(
         np.asarray(emb_s), np.asarray(emb_f), rtol=1e-4, atol=1e-5

@@ -109,6 +109,45 @@ def test_host_graph_is_device_placed():
     assert eng.predict([0, 1, 2]).shape == (3,)
 
 
+@pytest.mark.parametrize("agg", ["mean", "maxpool"])
+def test_sharded_table_tier_matches_replicated(graph, agg):
+    """mesh= shards the table tier: halo refresh + cross-shard row gather
+    must reproduce the replicated engine exactly; the table stays
+    shard-stacked (nothing [N]-sized replicated by the refresh)."""
+    from graphsage_tpu.parallel.mesh import make_mesh
+
+    kw = dict(in_dim=graph.num_features, num_classes=graph.num_classes,
+              hidden_dims=(16, 16), fanouts=(5, 5),
+              matmul_precision="highest")
+    if agg == "maxpool":
+        kw.update(aggregator="maxpool", pool_dim=16, concat_self=True)
+    model = GraphSAGE(**kw)
+    params = model.init(jax.random.PRNGKey(1))
+    repl = ServingEngine(model, graph, params, batch_buckets=(64,))
+    shard = ServingEngine(model, graph, params, batch_buckets=(64,),
+                          mesh=make_mesh({"graph": 8}))
+    assert shard.table.shape[0] == 8  # shard-stacked, not [N, d]
+    nodes = np.arange(graph.num_nodes)
+    np.testing.assert_allclose(shard.logits(nodes), repl.logits(nodes),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(shard.predict(nodes), repl.predict(nodes))
+    # refresh with new params keeps them in lockstep
+    fresh = model.init(jax.random.PRNGKey(5))
+    repl.refresh(fresh)
+    shard.refresh(fresh)
+    np.testing.assert_allclose(shard.logits(nodes[:64]), repl.logits(nodes[:64]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_tier_guards(graph, trained):
+    from graphsage_tpu.parallel.mesh import make_mesh
+
+    model, _, st = trained
+    with pytest.raises(ValueError, match="table-mode"):
+        ServingEngine(model, graph, st.params, mode="sampled",
+                      mesh=make_mesh({"graph": 8}))
+
+
 def test_guards(graph, trained):
     model, _, st = trained
     with pytest.raises(ValueError, match="mode"):
