@@ -233,6 +233,22 @@ class ServingEngine:
             )
         return rows, logits, n
 
+    def memory_stats(self) -> dict:
+        """Capacity-planning numbers, same convention as the trainers:
+        per-chip table residency, and (sharded tier) the refresh's
+        boundary-exchange volume from the partition plan."""
+        out = {"mode": self.mode, "buckets": self.buckets}
+        if self._table is not None:
+            nbytes = int(self._table.size) * self._table.dtype.itemsize
+            if self.mesh is not None:
+                s = self._table.shape[0]
+                out["table_bytes_per_chip"] = nbytes // s
+                out["table_bytes_replicated_equiv"] = nbytes
+                out["refresh_comm"] = self.partition.comm_stats()
+            else:
+                out["table_bytes_per_chip"] = nbytes
+        return out
+
     def logits(self, nodes) -> np.ndarray:
         """``[B, C]`` class scores for the requested nodes."""
         _, logits, n = self._logits(nodes)

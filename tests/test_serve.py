@@ -139,6 +139,20 @@ def test_sharded_table_tier_matches_replicated(graph, agg):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_memory_stats(graph, trained):
+    from graphsage_tpu.parallel.mesh import make_mesh
+
+    model, _, st = trained
+    repl = ServingEngine(model, graph, st.params, batch_buckets=(32,))
+    ms = repl.memory_stats()
+    assert ms["table_bytes_per_chip"] == graph.num_nodes * model.hidden_dims[-1] * 4
+    shard = ServingEngine(model, graph, st.params, batch_buckets=(32,),
+                          mesh=make_mesh({"graph": 8}))
+    ss = shard.memory_stats()
+    assert ss["table_bytes_per_chip"] * 8 == ss["table_bytes_replicated_equiv"]
+    assert "rows_exchanged_per_shard" in ss["refresh_comm"]
+
+
 def test_sharded_tier_guards(graph, trained):
     from graphsage_tpu.parallel.mesh import make_mesh
 
