@@ -117,6 +117,17 @@ PRESETS: dict[str, ExperimentConfig] = {
         model=ModelConfig(hidden_dims=(128, 128), fanouts=(10, 25)),
         train=TrainConfig(batch_size=1024, num_steps=200, eval_fanouts=(10, 25)),
     ),
+    # Pubmed with the shared-table layer 0 — the measured winner on this
+    # shape (3.0 vs 3.6 ms/step, docs/ROOFLINE.md §5: E=89K slots beats the
+    # 256K sampled deepest-hop rows); identical converged loss.
+    "pubmed_layer0_full": ExperimentConfig(
+        name="pubmed_layer0_full",
+        dataset="pubmed",
+        model=ModelConfig(hidden_dims=(128, 128), fanouts=(10, 25),
+                          layer0="full"),
+        train=TrainConfig(batch_size=1024, num_steps=200,
+                          eval_fanouts=(10, 25)),
+    ),
     # BASELINE config #3: pooling aggregator on Cora.
     "cora_pool": ExperimentConfig(
         name="cora_pool",
