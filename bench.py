@@ -294,6 +294,10 @@ def main() -> None:
     )
     pubmed_l0 = _measure(pubmed_graph, pubmed_model_full,
                          batch=1024, steps_per_block=200, blocks=2)
+    from graphsage_tpu.parallel.halo import build_node_partition
+
+    _pubmed_l0_part = build_node_partition(pubmed_graph, 8,
+                                           bounds="equal_nodes")
     pubmed_l0["edges_per_step"] = (
         pubmed_l0["edges_per_step"] + pubmed_graph.num_edges
     )
@@ -353,10 +357,13 @@ def main() -> None:
                     },
                     "sharded_comm_volume_s8_cora": comm_s8,
                     # layer0="full" sharded: d0-wide gather rows + the
-                    # per-step all_gather of the projected table rows.
+                    # per-step table-build exchange (all_gather of the
+                    # projected rows vs boundary-rows-only halo plan).
                     "sharded_comm_volume_s8_pubmed_layer0_full": (
-                        sharded_comm_stats(pubmed_model_full, 1024, 8,
-                                           num_nodes=19717)
+                        sharded_comm_stats(
+                            pubmed_model_full, 1024, 8, num_nodes=19717,
+                            layer0_partition=_pubmed_l0_part,
+                        )
                     ),
                     "learning_floor_violations": violations,
                     "device": str(jax.devices()[0]),

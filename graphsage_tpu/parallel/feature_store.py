@@ -432,6 +432,7 @@ def sharded_comm_stats(
     slack: float = 1.5,
     fully_sharded: bool = False,
     num_nodes: int | None = None,
+    layer0_partition=None,
 ) -> dict:
     """Per-chip per-step communication VOLUME (bytes) of the sharded
     trainers, from static shapes alone — the capacity-planning numbers the
@@ -495,6 +496,11 @@ def sharded_comm_stats(
         out["layer0_allgather_bytes_per_chip_step"] = (
             (s - 1) * np_ * d_proj * itemsize
         )
+        if layer0_partition is not None:
+            # layer0_exchange="halo": boundary rows only, from the
+            # equal-node-bounds plan the trainer built.
+            rows = layer0_partition.comm_stats()["rows_exchanged_per_shard"]
+            out["layer0_halo_bytes_per_chip_step"] = rows * d_proj * itemsize
     if fully_sharded:
         samp = 0
         hop_detail = []
@@ -582,9 +588,15 @@ class ShardedFeatureTrainer(Trainer):
 
     ``layer0="full"`` is supported: the shared-table layer 0 runs
     distributed (each chip builds its local ``[Np, d0]`` table slice over
-    its own edge slice + one all_gather of the projected rows) and the
-    single remaining gather site exchanges d0-wide table rows — see
-    :func:`make_sharded_spmm` and :func:`sharded_comm_stats`.
+    its own edge slice) and the single remaining gather site exchanges
+    d0-wide table rows — see :func:`make_sharded_spmm` and
+    :func:`sharded_comm_stats`. ``layer0_exchange`` picks how the table
+    build moves rows: ``"allgather"`` (every shard's projected rows, one
+    all_gather — simple, (S-1)·Np·d rows/chip) or ``"halo"`` (the
+    boundary-rows-only halo plan over ``bounds="equal_nodes"`` — the
+    feature store's own ownership rule — typically far less traffic;
+    ``layer0_halo_kwargs`` forwards ``sizing``/``hub_threshold``/
+    ``halo_chunks`` to :func:`~graphsage_tpu.parallel.halo.build_node_partition`).
     """
 
     # FullyShardedTrainer derives the layer-0 edge slice from its sharded
@@ -600,9 +612,21 @@ class ShardedFeatureTrainer(Trainer):
         axis: str = "data",
         gather_mode: str = "dense",
         capacity_slack: float = 1.5,
+        layer0_exchange: str = "allgather",
+        layer0_halo_kwargs: dict | None = None,
     ):
         if gather_mode not in ("dense", "compact"):
             raise ValueError(f"unknown gather_mode {gather_mode!r}")
+        if layer0_exchange not in ("allgather", "halo"):
+            raise ValueError(f"unknown layer0_exchange {layer0_exchange!r}")
+        if layer0_exchange == "halo" and self._layer0_edges_from_adjacency:
+            raise ValueError(
+                "layer0_exchange='halo' is ShardedFeatureTrainer-only: the "
+                "halo plan is a second edge copy, which FullyShardedTrainer "
+                "exists to avoid (it derives layer-0 edges from its sharded "
+                "adjacency)"
+            )
+        self.layer0_exchange = layer0_exchange
         self.mesh = mesh
         self.axis = axis
         self.gather_mode = gather_mode
@@ -632,7 +656,28 @@ class ShardedFeatureTrainer(Trainer):
         # slices shard with the same ownership rule as the features.
         # (FullyShardedTrainer derives them from its sharded adjacency
         # instead — no second edge copy on the chip.)
-        if model.layer0 == "full" and not self._layer0_edges_from_adjacency:
+        self._layer0_part = None
+        if model.layer0 == "full" and self.layer0_exchange == "halo":
+            # Boundary-rows-only table build: the halo plan over the
+            # feature store's OWN ownership rule (equal node ranges) —
+            # the payload rides the edge_slice_leaves slot.
+            from graphsage_tpu.parallel.halo import (
+                _exchange_arrays,
+                build_node_partition,
+            )
+
+            part = build_node_partition(
+                graph, s, bounds="equal_nodes",
+                **(layer0_halo_kwargs or {}),
+            )
+            assert part.nodes_per_shard == self.features.rows_per_shard
+            self._layer0_part = part
+            self.edge_slices = None
+            self.edge_slice_leaves = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, self._shard_sharding),
+                _exchange_arrays(part),
+            )
+        elif model.layer0 == "full" and not self._layer0_edges_from_adjacency:
             self.edge_slices = shard_edge_slices(
                 graph, s, sharding=self._shard_sharding
             )
@@ -684,15 +729,52 @@ class ShardedFeatureTrainer(Trainer):
         return violated
 
     # --------------------------------------------------- layer-0 full table
-    def _layer0_table_fn(self, edge_local):
+    def _layer0_table_fn(self, payload_local):
         """``(params, feats_local) -> local [Np, d0] table slice`` closure
-        for ``layer0="full"`` (None otherwise). ``edge_local`` is this
-        shard's ``(e_src, e_dst, e_mask, deg)`` — call inside shard_map.
-        The table math lives in :meth:`GraphSAGE.layer0_full_table`; only
-        the spmm/segmax closure differs (all_gather + local edge slice)."""
+        for ``layer0="full"`` (None otherwise). ``payload_local`` is the
+        shard-local slice of ``edge_slice_leaves`` (leaves keep their
+        leading ``[1, ...]`` dim) — call inside shard_map. The table math
+        lives in :meth:`GraphSAGE.layer0_full_table`; only the spmm/segmax
+        closure differs (all_gather + local edge slice, or the halo
+        boundary exchange)."""
         model = self.model
         if model.layer0 != "full":
             return None
+        if self.layer0_exchange == "halo":
+            from graphsage_tpu.parallel.halo import (
+                halo_segment_max,
+                halo_spmm_mean,
+            )
+
+            part = self._layer0_part
+            if model.aggregator == "mean":
+                def spmm(x):
+                    mean, cnt = halo_spmm_mean(
+                        self.axis, part, x[None], payload_local
+                    )
+                    return mean[0], cnt[0]
+
+                return lambda p, feats: model.layer0_full_table(
+                    p, feats, spmm=spmm
+                )
+
+            def segmax(pooled):
+                agg, cnt = halo_segment_max(
+                    self.axis, part, pooled[None], payload_local
+                )
+                return agg[0], cnt[0]
+
+            return lambda p, feats: model.layer0_full_table(
+                p, feats, segmax=segmax
+            )
+        return self._layer0_table_fn_slices(
+            tuple(a[0] for a in payload_local)
+        )
+
+    def _layer0_table_fn_slices(self, edge_local):
+        """All_gather-exchange variant: ``edge_local`` is this shard's
+        ``(e_src, e_dst, e_mask, deg)`` with leading dims stripped."""
+        model = self.model
         np_ = self.features.rows_per_shard
         e_src, e_dst, e_mask, deg = edge_local
         if model.aggregator == "mean":
@@ -723,9 +805,11 @@ class ShardedFeatureTrainer(Trainer):
                 if self.gather_mode == "compact"
                 else jnp.zeros((), bool)
             )
-            table_fn = self._layer0_table_fn(
-                tuple(a[0] for a in edge_local)
-            ) if model.layer0 == "full" else None
+            table_fn = (
+                self._layer0_table_fn(edge_local)
+                if model.layer0 == "full"
+                else None
+            )
 
             def loss_fn(p):
                 return model.loss(
@@ -826,9 +910,11 @@ class ShardedFeatureTrainer(Trainer):
                 if mode == "compact"
                 else jnp.zeros((), bool)
             )
-            table_fn = self._layer0_table_fn(
-                tuple(a[0] for a in edge_local)
-            ) if model.layer0 == "full" else None
+            table_fn = (
+                self._layer0_table_fn(edge_local)
+                if model.layer0 == "full"
+                else None
+            )
             logits = model.forward(
                 params, shard[0], local,
                 gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
@@ -1130,10 +1216,12 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
     _layer0_edges_from_adjacency = True
 
     def __init__(self, model, graph, config, mesh, axis="data",
-                 capacity_slack: float = 1.5):
+                 capacity_slack: float = 1.5,
+                 layer0_exchange: str = "allgather"):
         super().__init__(
             model, graph, config, mesh, axis=axis,
             gather_mode="compact", capacity_slack=capacity_slack,
+            layer0_exchange=layer0_exchange,
         )
         self.adjacency = shard_adjacency(
             graph, mesh.shape[axis], sharding=self._shard_sharding
@@ -1177,7 +1265,7 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
         e_src, e_dst, e_mask = local_edges_from_adjacency(
             indptr, edge_dst, self.adjacency.rows_per_shard
         )
-        return self._layer0_table_fn((e_src, e_dst, e_mask, deg))
+        return self._layer0_table_fn_slices((e_src, e_dst, e_mask, deg))
 
     def _fully_sharded_step(self, state, feature_shards, adj_leaves, seeds):
         model = self.model

@@ -445,6 +445,7 @@ def build_node_partition(
     sizing: str = "global",
     hub_threshold: int | None = None,
     order: np.ndarray | str | None = None,
+    bounds: str = "edges",
 ) -> NodePartition:
     """Host-side precompute of the halo-exchange plan (numpy).
 
@@ -456,7 +457,25 @@ def build_node_partition(
     [N] permutation of global ids — or ``"auto"``, which sweeps
     order x sizing x hub-threshold via :func:`auto_partition_plan` and
     builds the minimum-communication combination (overriding the
-    ``sizing``/``hub_threshold`` arguments with the swept winners)."""
+    ``sizing``/``hub_threshold`` arguments with the swept winners).
+
+    ``bounds``: ``"edges"`` (edge-count-balanced ranges, the default) or
+    ``"equal_nodes"`` — fixed ``round_up(ceil(N/S), 8)``-node ranges in
+    input order, the ownership rule of the node-sharded feature store
+    (:func:`graphsage_tpu.parallel.feature_store.shard_features`); this is
+    what lets the sharded trainers run their layer-0 table build through
+    the halo exchange (boundary rows only) instead of an all_gather.
+    ``bounds="equal_nodes"`` requires input order (ownership is id-range
+    based) and is incompatible with ``order="lpa"``/``"bfs"``/``"auto"``."""
+    if bounds not in ("edges", "equal_nodes"):
+        raise ValueError(f"unknown bounds {bounds!r}")
+    if bounds == "equal_nodes" and not (
+        order is None or (isinstance(order, str) and order == "input")
+    ):
+        raise ValueError(
+            "bounds='equal_nodes' requires input order — ownership is "
+            "id-range based (feature-store compatibility)"
+        )
     if isinstance(order, str) and order == "auto":
         plan = auto_partition_plan(graph, num_shards)
         order, sizing, hub_threshold = (
@@ -476,13 +495,21 @@ def build_node_partition(
     pos_of[order] = np.arange(n)
 
     # Contiguous position ranges balanced by edge count (lpa: the group
-    # boundaries themselves).
-    if lpa_bounds is not None:
+    # boundaries themselves), or fixed equal-node ranges matching the
+    # feature store's id-range ownership.
+    rows = None
+    if bounds == "equal_nodes":
+        rows = _round_up(max(-(-n // num_shards), 1), 8)
+        bounds = np.minimum(np.arange(num_shards + 1) * rows, n)
+    elif lpa_bounds is not None:
         bounds = lpa_bounds
     else:
         bounds = _edge_balanced_bounds(graph, order, num_shards)
     sizes = np.diff(bounds).astype(np.int32)
-    np_pad = _round_up(max(int(sizes.max()), 1), 8)
+    np_pad = (
+        rows if isinstance(rows, int)  # equal_nodes: pad == ownership stride
+        else _round_up(max(int(sizes.max()), 1), 8)
+    )
     owner_of_pos = np.searchsorted(bounds, np.arange(n), side="right") - 1
     owner_of = owner_of_pos[pos_of]  # global id -> shard
     local_of = (pos_of - np.asarray(bounds)[owner_of_pos][pos_of]).astype(

@@ -92,12 +92,14 @@ def test_layer0_full_maxpool_trains_end_to_end(graph):
     assert res["losses"][-1] < res["losses"][0]
 
 
-@pytest.mark.parametrize("mode", ["dense", "compact", "maxpool"])
+@pytest.mark.parametrize(
+    "mode", ["dense", "compact", "maxpool", "halo", "halo_maxpool", "halo_hub"]
+)
 def test_layer0_full_sharded_trainer_parity(graph, mode):
     """The distributed shared-table layer 0 (per-shard edge slice +
-    all_gather of the projected rows) must stay in lockstep with the
-    single-device trainer — sampling is replicated, so losses and params
-    match step for step."""
+    all_gather of the projected rows, or the boundary-rows-only halo
+    exchange) must stay in lockstep with the single-device trainer —
+    sampling is replicated, so losses and params match step for step."""
     from graphsage_tpu.parallel.feature_store import ShardedFeatureTrainer
     from graphsage_tpu.parallel.mesh import make_mesh
 
@@ -106,16 +108,25 @@ def test_layer0_full_sharded_trainer_parity(graph, mode):
         hidden_dims=(8, 8), fanouts=(4, 4), layer0="full",
         gather_impl="take", matmul_precision="highest",
     )
-    gather_mode = mode
-    if mode == "maxpool":
+    gather_mode, tr_kw = mode, {}
+    if mode.endswith("maxpool"):
         kw.update(aggregator="maxpool", pool_dim=8, self_loop=True)
         gather_mode = "compact"
+    if mode.startswith("halo"):
+        gather_mode = "dense" if mode == "halo" else "compact"
+        tr_kw["layer0_exchange"] = "halo"
+        if mode == "halo_hub":
+            gather_mode = "compact"
+            tr_kw["layer0_halo_kwargs"] = {
+                "sizing": "per_offset", "hub_threshold": 8,
+            }
     model = GraphSAGE(**kw)
     cfg = TrainConfig(batch_size=32, num_steps=3, learning_rate=0.5,
                       test_size=60, val_size=60, log_every=0)
     single = Trainer(model, graph, cfg)
     sharded = ShardedFeatureTrainer(
-        model, graph, cfg, make_mesh({"data": 8}), gather_mode=gather_mode
+        model, graph, cfg, make_mesh({"data": 8}), gather_mode=gather_mode,
+        **tr_kw,
     )
     s1, s2 = single.init_state(), sharded.init_state()
     it1, it2 = single.batches(), sharded.batches()
@@ -129,6 +140,44 @@ def test_layer0_full_sharded_trainer_parity(graph, mode):
         ),
         s1.params, s2.params,
     )
+
+
+def test_layer0_halo_exchange_moves_fewer_bytes(graph):
+    """The halo table build must beat the all_gather on a homophilous
+    graph — the reason the lever exists — and the stats must agree with
+    the trainer's actual plan."""
+    from graphsage_tpu.parallel.feature_store import sharded_comm_stats
+    from graphsage_tpu.parallel.halo import build_node_partition
+
+    model = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
+                      hidden_dims=(8, 8), fanouts=(4, 4), layer0="full")
+    part = build_node_partition(graph, 8, bounds="equal_nodes")
+    stats = sharded_comm_stats(model, 32, 8, num_nodes=graph.num_nodes,
+                               layer0_partition=part)
+    assert stats["layer0_halo_bytes_per_chip_step"] < (
+        stats["layer0_allgather_bytes_per_chip_step"]
+    )
+
+
+def test_equal_nodes_bounds_guards(graph):
+    from graphsage_tpu.parallel.halo import build_node_partition
+
+    with pytest.raises(ValueError, match="equal_nodes"):
+        build_node_partition(graph, 8, bounds="equal_nodes", order="lpa")
+    with pytest.raises(ValueError, match="bounds"):
+        build_node_partition(graph, 8, bounds="bogus")
+
+
+def test_layer0_halo_rejected_by_fully_sharded(graph):
+    from graphsage_tpu.parallel.feature_store import FullyShardedTrainer
+    from graphsage_tpu.parallel.mesh import make_mesh
+
+    model = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
+                      hidden_dims=(8, 8), fanouts=(4, 4), layer0="full")
+    cfg = TrainConfig(batch_size=32, num_steps=1, test_size=60, val_size=60)
+    with pytest.raises(ValueError, match="halo"):
+        FullyShardedTrainer(model, graph, cfg, make_mesh({"data": 8}),
+                            layer0_exchange="halo")
 
 
 def test_layer0_full_fully_sharded_parity(graph):
