@@ -16,7 +16,7 @@ Top-level re-exports cover the common surface; submodules hold the rest:
   utils     — metrics, checkpointing, profiling
 """
 
-from graphsage_tpu.data.graph import Graph, build_graph
+from graphsage_tpu.data.graph import Graph, build_graph, relabel_graph
 from graphsage_tpu.data.loaders import load_cora, load_pubmed
 from graphsage_tpu.models.graphsage import GraphSAGE, SAGEParams
 from graphsage_tpu.parallel.distributed import ShardedTrainer
@@ -25,7 +25,11 @@ from graphsage_tpu.parallel.feature_store import (
     ShardedFeatureTrainer,
     sharded_comm_stats,
 )
-from graphsage_tpu.parallel.halo import auto_partition_plan, build_node_partition
+from graphsage_tpu.parallel.halo import (
+    auto_partition_plan,
+    build_node_partition,
+    locality_relabel,
+)
 from graphsage_tpu.parallel.mesh import make_mesh
 from graphsage_tpu.serve import ServingEngine
 from graphsage_tpu.train.config import ExperimentConfig, ModelConfig, TrainConfig
@@ -38,6 +42,8 @@ __version__ = "0.1.0"
 __all__ = [
     "Graph",
     "build_graph",
+    "relabel_graph",
+    "locality_relabel",
     "load_cora",
     "load_pubmed",
     "GraphSAGE",

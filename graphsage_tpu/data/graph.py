@@ -258,3 +258,58 @@ def build_graph(
         # dropping (v,u) — the result is generally asymmetric.
         symmetric=bool(undirected and max_degree is None),
     )
+
+
+def relabel_graph(
+    graph: Graph,
+    order: np.ndarray,
+    placement: str | None = None,
+) -> tuple[Graph, np.ndarray]:
+    """Rebuild ``graph`` with node ids permuted: old node ``order[i]``
+    becomes new id ``i``. Returns ``(relabeled graph, perm)`` with
+    ``perm[old_id] = new_id`` (features, labels and adjacency all move;
+    the edge SET is untouched, so every order-invariant computation —
+    the deterministic full-graph forward included — is preserved up to
+    the row permutation: ``logits_new[perm[v]] == logits_old[v]``).
+
+    This is the locality-preprocessing hook: every id-RANGE ownership
+    rule in the framework (``shard_features``'s node-sharded store, the
+    halo plan's ``bounds="equal_nodes"``, the distributed sampler's
+    owner routing) becomes structure-aware when ids are assigned in a
+    community/BFS order — see
+    :func:`graphsage_tpu.parallel.halo.locality_relabel` for the one-call
+    version, and docs/DISTRIBUTED.md for the measured effect. The
+    reference has no counterpart (ids are file order, model.py:46-49).
+
+    ``placement`` defaults to the source graph's (host stays host).
+    """
+    order = np.asarray(order, dtype=np.int64).reshape(-1)
+    n = graph.num_nodes
+    if order.shape[0] != n or len(np.unique(order)) != n:
+        raise ValueError("order must be a permutation of all node ids")
+    perm = np.empty(n, dtype=np.int64)
+    perm[order] = np.arange(n, dtype=np.int64)
+    feats = np.asarray(graph.features)[order]
+    labels = np.asarray(graph.labels)[order]
+    e = graph.num_edges
+    src = perm[np.asarray(graph.edge_src)[:e]]
+    dst = perm[np.asarray(graph.edge_dst)[:e]]
+    if graph.symmetric:
+        # The directed list carries both directions; rebuild from the
+        # upper triangle so build_graph re-mirrors (symmetric preserved).
+        keep = src <= dst
+        edges = np.stack([src[keep], dst[keep]], axis=1)
+        undirected = True
+    else:
+        edges = np.stack([src, dst], axis=1)
+        undirected = False
+    relabeled = build_graph(
+        feats,
+        labels,
+        edges,
+        num_classes=graph.num_classes,
+        undirected=undirected,
+        feature_dtype=np.asarray(graph.features).dtype,
+        placement=placement or ("host" if graph.on_host else "device"),
+    )
+    return relabeled, perm

@@ -278,6 +278,47 @@ def _resolve_order(
     return order, None
 
 
+def locality_relabel(
+    graph: Graph, num_groups: int, order: str | np.ndarray = "auto"
+) -> tuple[Graph, np.ndarray]:
+    """Permute node IDS by a locality order (LPA communities, BFS, or an
+    explicit permutation) — ``(relabeled graph, perm[old]=new)``.
+
+    Every id-range ownership rule becomes structure-aware after this one
+    host-side preprocessing step: ``shard_features`` node ranges,
+    ``bounds="equal_nodes"`` halo plans (the sharded layer-0 table build),
+    and the distributed sampler's owner routing all see community-aligned
+    shards without giving up the contiguous-range arithmetic they rely
+    on. The halo FullGraphTrainer does not need this (its plan reorders
+    internally via ``order=``); the node-sharded trainers do, because
+    their exchanges derive owners from ``id // rows``.
+
+    ``order="auto"`` (default) ranks {input, bfs, lpa} by the cheap
+    equal-node-bounds evaluator (:func:`partition_comm_rows`) and keeps
+    the winner — ties within 2% break toward the simplest, and when input
+    order already wins (id-local generators, preferential attachment) the
+    graph is returned UNCHANGED with the identity perm: relabeling, like
+    every other lever here, must degrade cleanly on graphs it can't help."""
+    from graphsage_tpu.data.graph import relabel_graph
+
+    if isinstance(order, str) and order == "auto":
+        ranked = []
+        for i, o in enumerate(("input", "bfs", "lpa")):
+            stats = partition_comm_rows(
+                graph, num_groups, order=o, bounds="equal_nodes"
+            )
+            ranked.append((stats["rows_exchanged_per_shard"], i, o))
+        best_rows = min(r for r, _, _ in ranked)
+        order = min(
+            (c for c in ranked if c[0] <= best_rows * 1.02),
+            key=lambda c: c[1],
+        )[2]
+        if order == "input":
+            return graph, np.arange(graph.num_nodes, dtype=np.int64)
+    order_arr, _ = _resolve_order(graph, num_groups, order)
+    return relabel_graph(graph, order_arr)
+
+
 def _edge_balanced_bounds(
     graph: Graph, order: np.ndarray, num_shards: int
 ) -> list[int]:
@@ -303,13 +344,18 @@ def partition_comm_rows(
     sizing: str = "global",
     hub_threshold: int | None = None,
     _resolved: tuple | None = None,
+    bounds: str = "edges",
 ) -> dict:
     """Cheap host-side estimate of a candidate partition's per-shard
     boundary-exchange volume — the same count ``NodePartition.comm_stats``
     reports, without building any device arrays (one O(E log E) pass).
     Feeds :func:`auto_partition_plan`, which passes ``_resolved`` (the
     ``(order array, lpa bounds)`` pair) so BFS/LPA run once per order
-    string instead of once per hub x sizing candidate."""
+    string instead of once per hub x sizing candidate.
+
+    ``bounds="equal_nodes"`` evaluates fixed equal-node POSITION ranges
+    instead of edge-balanced ones — i.e. what the plan would cost after
+    :func:`locality_relabel` to ``order`` (id-range ownership)."""
     n = graph.num_nodes
     s_num = num_shards
     indptr = np.asarray(graph.indptr).astype(np.int64)
@@ -322,11 +368,13 @@ def partition_comm_rows(
         if _resolved is not None
         else _resolve_order(graph, num_shards, order)
     )
-    bounds = (
-        lpa_bounds
-        if lpa_bounds is not None
-        else _edge_balanced_bounds(graph, order_arr, num_shards)
-    )
+    if bounds == "equal_nodes":
+        rows = _round_up(max(-(-n // num_shards), 1), 8)
+        bounds = np.minimum(np.arange(num_shards + 1) * rows, n)
+    elif lpa_bounds is not None:
+        bounds = lpa_bounds
+    else:
+        bounds = _edge_balanced_bounds(graph, order_arr, num_shards)
     pos_of = np.empty(n, dtype=np.int64)
     pos_of[order_arr] = np.arange(n)
     owner_of_pos = np.searchsorted(bounds, np.arange(n), side="right") - 1
