@@ -88,6 +88,24 @@ def test_sampled_mode_deterministic_and_covering_parity(graph, trained):
     np.testing.assert_allclose(a, eng_t.logits(nodes), rtol=1e-4, atol=1e-5)
 
 
+def test_sampled_mode_layer0_full(graph, trained):
+    """A layer0='full' model serves through the sampled engine (the
+    shared-table layer 0 rides model.forward's graph= path)."""
+    import dataclasses
+
+    model, _, st = trained
+    m0 = dataclasses.replace(model, layer0="full")
+    max_deg = int(np.asarray(graph.degrees).max())
+    eng = ServingEngine(m0, graph, st.params, mode="sampled",
+                        batch_buckets=(32,),
+                        eval_fanouts=(max_deg, max_deg))
+    eng_t = ServingEngine(model, graph, st.params, batch_buckets=(32,))
+    nodes = np.arange(32)
+    # Covering fanouts + full layer 0 == deterministic table tier.
+    np.testing.assert_allclose(eng.logits(nodes), eng_t.logits(nodes),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_embed_surface(graph, trained):
     model, _, st = trained
     eng = ServingEngine(model, graph, st.params, batch_buckets=(16,))
