@@ -155,6 +155,65 @@ def _measure_sharded(graph, model, batch, steps_per_block, blocks, mode,
     }
 
 
+def _measure_serving(graph, model, batch, steps_per_block, blocks):
+    """ServingEngine table-tier request cost: device time for one padded
+    request batch (gather + head matmul), relay-amortized in a scan block,
+    plus the wall time of one table refresh (the per-model-update cost).
+    Uses fresh params — serving cost is shape-only."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphsage_tpu.serve import ServingEngine
+
+    t0 = time.perf_counter()
+    eng = ServingEngine(
+        model, graph, model.init(jax.random.PRNGKey(0)),
+        batch_buckets=(batch,),
+    )
+    np.asarray(eng.table)  # completion barrier on the initial refresh
+    build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    eng.refresh(eng.params)
+    np.asarray(eng.table)
+    refresh_s = max(time.perf_counter() - t0 - 0.028, 0.0)
+
+    rng = np.random.default_rng(0)
+    ids_blocks = [
+        jnp.asarray(
+            rng.integers(0, graph.num_nodes, size=(steps_per_block, batch)),
+            jnp.int32,
+        )
+        for _ in range(blocks + 1)
+    ]
+    head = eng.params.head
+
+    def block(table, head, ids_all, c):
+        def body(acc, ids):
+            rows = jnp.take(table, ids, axis=0)
+            logits = jnp.einsum(
+                "bd,dc->bc", rows, head.astype(rows.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return acc + (logits * logits).sum() * (1 + acc * 1e-20), None
+
+        return jax.lax.scan(body, c, ids_all)[0]
+
+    block_jit = jax.jit(block)
+    z = jnp.zeros((), jnp.float32)
+    np.asarray(block_jit(eng.table, head, ids_blocks[0], z))
+    times = []
+    for b in range(1, blocks + 1):
+        t0 = time.perf_counter()
+        np.asarray(block_jit(eng.table, head, ids_blocks[b], z))
+        times.append(time.perf_counter() - t0 - 0.028)
+    return {
+        "request_batch": batch,
+        "sec_per_request_batch": max(min(times), 0.0) / steps_per_block,
+        "table_refresh_sec": refresh_s,
+        "engine_build_sec": build_s,
+    }
+
+
 def _measure_full_batch(graph, model, steps_per_block, blocks):
     """Full-batch (num_sample=None) training throughput: every step
     aggregates ALL edges once per layer via the degree-bucketed scatter-free
@@ -283,6 +342,15 @@ def main() -> None:
         )
     comm_s8 = sharded_comm_stats(cora_model, 256, 8, fully_sharded=True)
 
+    # Serving: table-tier request cost on the Pubmed shape (gather + head
+    # only — the refresh amortizes over a model version; docs/SERVING.md).
+    serving = _measure_serving(
+        synthetic_pubmed_graph(19717, 500, 44338, 3, seed=0),
+        GraphSAGE(in_dim=500, num_classes=3, hidden_dims=(128, 128),
+                  fanouts=(10, 25)),
+        batch=1024, steps_per_block=200, blocks=2,
+    )
+
     # Shared-table layer-0 on the Pubmed-intent shape (ROOFLINE §5.1): the
     # full-graph CSR layer 0 replaces 256K sampled deepest-hop rows with
     # 89K scatter-free edge slots. Denominator counts the edges actually
@@ -356,6 +424,7 @@ def main() -> None:
                         for name, row in rows.items()
                     },
                     "sharded_comm_volume_s8_cora": comm_s8,
+                    "serving_table_tier_pubmed": serving,
                     # layer0="full" sharded: d0-wide gather rows + the
                     # per-step table-build exchange (all_gather of the
                     # projected rows vs boundary-rows-only halo plan).
