@@ -149,12 +149,75 @@ class GraphSAGE:
         return len(self.hidden_dims)
 
     def use_project_first(self, layer: int, d_in: int) -> bool:
-        """Whether layer ``layer`` aggregates after projecting (mean only)."""
+        """Whether layer ``layer`` aggregates after projecting (mean only).
+
+        The ``"auto"`` rule here is the *traffic* heuristic (project when the
+        layer shrinks its width) — the right call for the full-graph and
+        sharded paths, where projecting first also shrinks every boundary
+        exchange. The sampled single-chip layer 0 uses the backward-aware
+        :meth:`_sampled_layer0_project_first` instead (see there)."""
         if self.aggregator != "mean":
             return False
         if self.project_first == "auto":
             return d_in > self.hidden_dims[layer]
         return bool(self.project_first)
+
+    def _sampled_layer0_project_first(
+        self, num_nodes: int, slots: int, feat_bytes: int
+    ) -> bool:
+        """Backward-aware project-first decision for the SAMPLED layer 0.
+
+        The feature table is frozen (reference model.py:70-71,
+        requires_grad=False — Q12), which makes the two orderings sharply
+        asymmetric in the backward:
+
+        * mean-first  — ``agg = mean(X[idx]); h = agg @ W``: the backward is
+          one ``[f, B] @ [B, d]`` matmul on the saved ``agg`` residual; the
+          feature-table cotangent is never staged (X is not differentiated).
+        * project-first — ``T = X @ W; h = mean(T[idx])``: ``T`` IS a
+          function of ``W``, so the backward must materialize ``dT`` with a
+          ``slots``-row scatter into ``[N, d]`` (or a dense one-hot pass)
+          and then run the ``[f, N] @ [N, d]`` dW matmul over ALL N rows.
+
+        So project-first only pays when its forward saving (gathering d-wide
+        instead of f-wide rows) exceeds that backward cost — true when the
+        frontier is much larger than the graph (Cora/Pubmed: B*k >> N),
+        false at Reddit-like shapes (B*k < N, wide f). Constants are the
+        v5e measurements from docs/ROOFLINE.md (~200 GB/s effective gather
+        stream; scatter ~0.5 ms + 8.6 ns/row at 128 lanes; dense transposed
+        one-hot ~30 TFLOP/s; MXU ~45 TFLOP/s effective at these sizes), and
+        mean-first must win by 1.5x before auto flips away from the
+        traffic heuristic — at shapes where the model says "wash"
+        (Pubmed-intent: ~2.8 vs ~4.1 ms) the measured steps really are a
+        wash and the established path keeps its pinned numbers.
+        """
+        if self.aggregator != "mean":
+            return False
+        if self.project_first != "auto":
+            return bool(self.project_first)
+        f, d = self.in_dim, self.hidden_dims[0]
+        if f <= d:
+            return False  # no forward saving at all
+        BW, MXU, ONEHOT = 200e9, 45e12, 30e12
+        lane_scale = max(1.0, d / 128.0)
+        project_pass = (
+            num_nodes * (feat_bytes + 4 * d) / BW + 2 * num_nodes * f * d / MXU
+        )
+        scatter = 5e-4 + 8.6e-9 * slots * lane_scale
+        onehot = 2.0 * num_nodes * slots * d / ONEHOT + 2e-4
+        p_cost = (
+            project_pass  # forward table build
+            + slots * 4 * d / BW  # gather d-wide f32 rows
+            + min(scatter, onehot)  # dT materialization (bwd dispatch)
+            + project_pass  # dW = X^T dT over all N rows
+        )
+        b_out = max(slots // max(self.fanouts[0] or 1, 1), 1)
+        m_cost = (
+            slots * feat_bytes / BW  # gather f-wide rows
+            + 2 * b_out * f * d / MXU  # project after mean
+            + 2 * b_out * f * d / MXU  # dW on the [B, f] residual
+        )
+        return not (m_cost * 1.5 < p_cost)
 
     # ---------------------------------------------------------------- init
     def init(self, key: jax.Array) -> SAGEParams:
@@ -314,6 +377,11 @@ class GraphSAGE:
         local single-table ops (the reference's ``nn.Embedding`` lookup
         role, model.py:70-71).
         """
+        # The backward-aware layer-0 ordering only applies on the local
+        # single-table path: injected gather fns (the sharded feature store)
+        # see a node-range SLICE here, and their project-first choice is
+        # comm-driven (made in parallel/feature_store.py).
+        default_gathers = gather_fn is None and gather_mean_fn is None
         if gather_fn is None:
             gather_fn = lambda table, ids, mask=None: gather(table, ids)
         if gather_mean_fn is None:
@@ -350,7 +418,16 @@ class GraphSAGE:
                 neigh_ids, neigh_mask = ids2[:, 1:], m2[:, 1:]
             else:
                 neigh_ids, neigh_mask = ids2, m2
-            if self.use_project_first(0, self.in_dim):
+            pf = (
+                self._sampled_layer0_project_first(
+                    features.shape[0],
+                    int(neigh_ids.size),
+                    self.in_dim * jnp.dtype(features.dtype).itemsize,
+                )
+                if default_gathers
+                else self.use_project_first(0, self.in_dim)
+            )
+            if pf:
                 # Project the whole table to d_out once on the MXU, then
                 # gather/aggregate narrow rows (exact: the mean is linear).
                 p0 = params.layers[0]
