@@ -16,7 +16,13 @@ Top-level re-exports cover the common surface; submodules hold the rest:
   utils     — metrics, checkpointing, profiling
 """
 
-from graphsage_tpu.data.graph import Graph, build_graph, relabel_graph
+from graphsage_tpu.data.graph import (
+    Graph,
+    build_graph,
+    quantize_graph,
+    relabel_graph,
+)
+from graphsage_tpu.ops.quantize import QuantizedTable, dequantize, quantize_features
 from graphsage_tpu.data.loaders import load_cora, load_pubmed
 from graphsage_tpu.models.graphsage import GraphSAGE, SAGEParams
 from graphsage_tpu.parallel.distributed import ShardedTrainer
@@ -43,6 +49,10 @@ __all__ = [
     "Graph",
     "build_graph",
     "relabel_graph",
+    "quantize_graph",
+    "QuantizedTable",
+    "quantize_features",
+    "dequantize",
     "locality_relabel",
     "load_cora",
     "load_pubmed",

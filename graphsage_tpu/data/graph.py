@@ -87,7 +87,10 @@ class Graph:
         buffers). Host graphs are what the node-sharded trainers want: they
         slice features/adjacency on the host and place only the per-chip
         shards, so no device ever holds a full ``[N, F]`` table."""
-        return isinstance(self.features, np.ndarray)
+        # tree_leaves, not isinstance: ``features`` may be a QuantizedTable
+        # (ops/quantize.py) whose leaves carry the placement.
+        leaves = jax.tree_util.tree_leaves(self.features)
+        return bool(leaves) and isinstance(leaves[0], np.ndarray)
 
     def to_device(self, sharding=None) -> "Graph":
         """Place every array leaf on device (optionally with ``sharding``).
@@ -260,6 +263,26 @@ def build_graph(
     )
 
 
+def quantize_graph(graph: Graph) -> Graph:
+    """Replace the dense feature table with an int8 per-row
+    :class:`~graphsage_tpu.ops.quantize.QuantizedTable` (2-4x smaller
+    resident table, int8 deepest-hop gathers — see ops/quantize.py).
+
+    Valid because the table is frozen (reference model.py:70-71,
+    ``requires_grad=False``): quantization happens once, here, and the
+    training loop never writes it. Placement is preserved (host graphs
+    quantize in numpy on the host). Idempotent.
+    """
+    from graphsage_tpu.ops.quantize import is_quantized, quantize_features
+
+    if is_quantized(graph.features):
+        return graph
+    feats = graph.features
+    if isinstance(feats, np.ndarray) and not feats.flags.c_contiguous:
+        feats = np.ascontiguousarray(feats)
+    return graph.replace(features=quantize_features(feats))
+
+
 def relabel_graph(
     graph: Graph,
     order: np.ndarray,
@@ -287,6 +310,14 @@ def relabel_graph(
     n = graph.num_nodes
     if order.shape[0] != n or len(np.unique(order)) != n:
         raise ValueError("order must be a permutation of all node ids")
+    from graphsage_tpu.ops.quantize import is_quantized
+
+    if is_quantized(graph.features):
+        raise ValueError(
+            "relabel before quantizing: per-row scales move with their rows, "
+            "so quantize_graph(relabel_graph(dense_graph, order)[0]) is "
+            "identical and keeps this function simple"
+        )
     perm = np.empty(n, dtype=np.int64)
     perm[order] = np.arange(n, dtype=np.int64)
     feats = np.asarray(graph.features)[order]

@@ -56,6 +56,13 @@ from graphsage_tpu.ops.aggregate import (
     segment_max_csr,
     spmm_mean,
 )
+from graphsage_tpu.ops.quantize import (
+    dequantize,
+    gather_dequant,
+    gather_mean_dequant,
+    is_quantized,
+    project_table,
+)
 from graphsage_tpu.ops.sampling import sample_neighbors
 
 
@@ -293,7 +300,14 @@ class GraphSAGE:
         stays allclose to the replicated one."""
         if self.layer0 != "full":
             raise ValueError("layer0_full_table requires layer0='full'")
-        h0 = features
+        # Quantized tables dequantize into the compute dtype for the one
+        # full-graph pass (a transient [N, F] buffer — the resident table
+        # stays int8; a project-first int8 specialization is future work).
+        h0 = (
+            dequantize(features, self.compute_dtype or jnp.float32)
+            if is_quantized(features)
+            else features
+        )
         if self.compute_dtype is not None:
             h0 = h0.astype(self.compute_dtype)
         if self.aggregator == "mean":
@@ -382,13 +396,33 @@ class GraphSAGE:
         # see a node-range SLICE here, and their project-first choice is
         # comm-driven (made in parallel/feature_store.py).
         default_gathers = gather_fn is None and gather_mean_fn is None
+        quantized = is_quantized(features)
+        if quantized and not default_gathers:
+            raise ValueError(
+                "quantized feature tables are not supported with injected "
+                "gather fns (the node-sharded feature store keeps dense "
+                "tables) — dequantize() first or use the single-table "
+                "trainers"
+            )
         if gather_fn is None:
-            gather_fn = lambda table, ids, mask=None: gather(table, ids)
+            # Dispatch on the *table* type, not on `quantized`: the same fn
+            # also gathers from computed dense tables (layer-0 table,
+            # projected self-table) inside a quantized forward.
+            gather_fn = lambda table, ids, mask=None: (
+                gather_dequant(table, ids)
+                if is_quantized(table)
+                else gather(table, ids)
+            )
         if gather_mean_fn is None:
-            gather_mean_fn = functools.partial(
+            dense_gm = functools.partial(
                 gather_mean,
                 impl=self.gather_impl,
                 bf16=self.compute_dtype == jnp.bfloat16,
+            )
+            gather_mean_fn = lambda table, idx, mask: (
+                gather_mean_dequant(table, idx, mask)
+                if is_quantized(table)
+                else dense_gm(table, idx, mask)
             )
         L = self.num_layers
         start_l = 0
@@ -430,27 +464,33 @@ class GraphSAGE:
             if pf:
                 # Project the whole table to d_out once on the MXU, then
                 # gather/aggregate narrow rows (exact: the mean is linear).
+                # Quantized tables project WITHOUT dequantizing first —
+                # per-row scales commute with the row-wise matmul
+                # (ops/quantize.py:project_table; scale applied once, in
+                # f32, after the int8 contraction).
                 p0 = params.layers[0]
-                feats = features
                 w0 = p0.weight
                 if self.compute_dtype is not None:
-                    feats = feats.astype(self.compute_dtype)
                     w0 = w0.astype(self.compute_dtype)
                 w_self, w_neigh = split_mean_weight(w0, self.in_dim, self.concat_self)
-                table = jnp.einsum(
-                    "nf,fo->no", feats, w_neigh,
-                    preferred_element_type=jnp.float32,
-                    precision=self.matmul_precision,
-                ).astype(jnp.float32)
-                pre = gather_mean_fn(table, neigh_ids, neigh_mask)
-                if self.concat_self:
-                    table_self = jnp.einsum(
-                        "nf,fo->no", feats, w_self,
+                if quantized:
+                    project = functools.partial(
+                        project_table, features, precision=self.matmul_precision
+                    )
+                else:
+                    feats = features
+                    if self.compute_dtype is not None:
+                        feats = feats.astype(self.compute_dtype)
+                    project = lambda w: jnp.einsum(
+                        "nf,fo->no", feats, w,
                         preferred_element_type=jnp.float32,
                         precision=self.matmul_precision,
                     ).astype(jnp.float32)
+                table = project(w_neigh)
+                pre = gather_mean_fn(table, neigh_ids, neigh_mask)
+                if self.concat_self:
                     pre = pre + gather_fn(
-                        table_self, frontier.ids[L - 1], frontier.masks[L - 1]
+                        project(w_self), frontier.ids[L - 1], frontier.masks[L - 1]
                     )
                 # Keep activations in compute_dtype when set (mirrors
                 # apply_full_graph_mean_layer's .astype(h.dtype)) so bf16
@@ -556,7 +596,11 @@ class GraphSAGE:
         via CSR segment-mean, maxpool via per-node MLP + per-edge segment-max
         (the SDDMM-style formulation).
         """
-        h = graph.features
+        h = (
+            dequantize(graph.features, self.compute_dtype or jnp.float32)
+            if is_quantized(graph.features)
+            else graph.features
+        )
         if self.compute_dtype is not None:
             h = h.astype(self.compute_dtype)
         def spmm(x):

@@ -34,6 +34,10 @@ class ModelConfig:
     # Layer-0 mode: "sampled" | "full" (shared-table layer 0 — see
     # GraphSAGE.layer0; wins when num_edges < B * prod(fanouts)).
     layer0: str = "sampled"
+    # Int8-quantize the frozen feature table at load time (ops/quantize.py):
+    # 2-4x smaller resident table, int8 deepest-hop gathers. Single-table
+    # trainers only (sampled / full-graph modes).
+    quantize_features: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -123,6 +123,19 @@ def run_preset(
         # exists (not even transiently at load time).
         placement="host" if mode in ("sharded", "fully-sharded") else "device",
     )
+    if config.model.quantize_features:
+        if mode in ("sharded", "fully-sharded"):
+            raise ValueError(
+                "quantize_features is only supported by the single-table "
+                "modes (sampled / full-graph); the sharded feature store "
+                "keeps dense tables"
+            )
+        from graphsage_tpu.data.graph import quantize_graph
+
+        graph = quantize_graph(graph)
+        if log:
+            log(f"feature table quantized to int8: "
+                f"{graph.features.nbytes} B resident")
     model = build_model(config, graph)
     if mode == "full-graph":
         import dataclasses as _dc
@@ -255,6 +268,10 @@ def main(argv: Optional[list[str]] = None) -> None:
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (fail fast on NaN, "
                         "SURVEY.md §5.2 — e.g. Q4-class bugs)")
+    parser.add_argument("--quantize-features", action="store_true",
+                        help="int8-quantize the frozen feature table at load "
+                        "time (2-4x smaller resident table, int8 deepest-hop "
+                        "gathers; sampled/full-graph modes)")
     parser.add_argument("--quiet", action="store_true", help="suppress per-step loss")
     parser.add_argument("--log-jsonl", default=None,
                         help="append structured metrics records to this file")
@@ -275,6 +292,8 @@ def main(argv: Optional[list[str]] = None) -> None:
         overrides["test_size"] = args.test_size
     if args.val_size is not None:
         overrides["val_size"] = args.val_size
+    if args.quantize_features:
+        overrides["quantize_features"] = True
     if args.quiet:
         overrides["log_every"] = 0
 

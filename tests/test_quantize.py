@@ -1,0 +1,241 @@
+"""Int8 quantized feature tables (ops/quantize.py, Graph.quantize_graph).
+
+Strategy: the quantization ERROR is a modeling choice (bounded, tested once);
+the PIPELINE is tested sharply by pre-quantizing the inputs — when the dense
+table already equals ``dequantize(quantize(x))``, the quantized forward must
+agree with the dense forward to numerical tolerance on every path (sampled
+mean project-first and mean-first, concat_self/self_loop, maxpool,
+layer0="full", full-graph), because representation is then the only
+difference. The table is frozen (reference model.py:70-71), so training
+through a quantized graph only changes where layer 0 reads its rows."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphsage_tpu.data.graph import build_graph, quantize_graph, relabel_graph
+from graphsage_tpu.data.synthetic import power_law_graph
+from graphsage_tpu.models.graphsage import GraphSAGE
+from graphsage_tpu.ops.quantize import (
+    QuantizedTable,
+    dequantize,
+    gather_dequant,
+    gather_mean_dequant,
+    is_quantized,
+    project_table,
+    quantize_features,
+)
+from graphsage_tpu.train.config import TrainConfig
+from graphsage_tpu.train.trainer import Trainer
+
+
+# --------------------------------------------------------------- primitives
+
+
+def test_roundtrip_error_bound():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64, 33)).astype(np.float32) * rng.gamma(1, 5, (64, 1))
+    x[7] = 0.0  # all-zero row must survive exactly
+    qt = quantize_features(x)
+    dq = np.asarray(dequantize(qt))
+    bound = np.asarray(qt.scale) / 2 + 1e-7
+    assert np.all(np.abs(x - dq) <= bound)
+    assert np.all(dq[7] == 0)
+    assert np.abs(np.asarray(qt.q)).max() <= 127
+
+
+def test_quantize_numpy_stays_host():
+    x = np.random.default_rng(1).normal(size=(10, 5)).astype(np.float32)
+    qt = quantize_features(x)
+    assert isinstance(qt.q, np.ndarray) and isinstance(qt.scale, np.ndarray)
+    jt = quantize_features(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(jt.q), qt.q)
+    np.testing.assert_allclose(np.asarray(jt.scale), qt.scale)
+
+
+def test_shape_dtype_nbytes_mirror_dense():
+    x = np.random.default_rng(2).normal(size=(48, 16)).astype(np.float32)
+    qt = quantize_features(jnp.asarray(x))
+    assert qt.shape == (48, 16)
+    assert jnp.dtype(qt.dtype).itemsize == 1
+    assert qt.nbytes == 48 * 16 + 48 * 4
+
+
+def test_gather_dequant_matches_dense_rows():
+    rng = np.random.default_rng(3)
+    qt = quantize_features(jnp.asarray(rng.normal(size=(40, 9)), jnp.float32))
+    ids = jnp.asarray(rng.integers(0, 40, (6, 4)), jnp.int32)
+    got = gather_dequant(qt, ids)
+    want = jnp.take(dequantize(qt), ids, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_gather_mean_dequant_matches_dense_mean():
+    rng = np.random.default_rng(4)
+    qt = quantize_features(jnp.asarray(rng.normal(size=(40, 9)), jnp.float32))
+    idx = jnp.asarray(rng.integers(0, 40, (7, 5)), jnp.int32)
+    mask = jnp.asarray(rng.integers(0, 2, (7, 5)), bool)
+    got = np.asarray(gather_mean_dequant(qt, idx, mask))
+    dense = np.asarray(dequantize(qt))
+    m = np.asarray(mask).astype(np.float32)[..., None]
+    want = (dense[np.asarray(idx)] * m).sum(-2) / np.maximum(m.sum(-2), 1.0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("wdtype", [jnp.float32, jnp.bfloat16])
+def test_project_table_matches_dequant_then_matmul(wdtype):
+    rng = np.random.default_rng(5)
+    qt = quantize_features(jnp.asarray(rng.normal(size=(30, 12)), jnp.float32))
+    w = jnp.asarray(rng.normal(size=(12, 8)), wdtype)
+    got = np.asarray(project_table(qt, w))
+    want = np.asarray(
+        jnp.einsum(
+            "nf,fo->no",
+            dequantize(qt).astype(jnp.float32),
+            w.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+# ------------------------------------------------------------ graph plumbing
+
+
+@pytest.fixture(scope="module")
+def dense_graph():
+    g = power_law_graph(
+        num_nodes=300, num_edges=1200, num_feats=24, num_classes=5,
+        seed=7, homophily=0.8,
+    )
+    # Pre-quantize the features so quantized-vs-dense pipeline comparisons
+    # are exact (representation is the only difference).
+    dq = np.asarray(dequantize(quantize_features(np.asarray(g.features))))
+    return g.replace(features=jnp.asarray(dq))
+
+
+def test_quantize_graph_idempotent_and_placement(dense_graph):
+    qg = quantize_graph(dense_graph)
+    assert is_quantized(qg.features)
+    assert quantize_graph(qg) is qg
+    assert not qg.on_host
+    host = qg.to_host()
+    assert host.on_host
+    back = host.to_device()
+    assert not back.on_host
+    np.testing.assert_array_equal(np.asarray(back.features.q), np.asarray(qg.features.q))
+
+
+def test_host_graph_quantizes_in_numpy():
+    rng = np.random.default_rng(8)
+    feats = rng.normal(size=(20, 6)).astype(np.float32)
+    labels = rng.integers(0, 3, 20)
+    edges = rng.integers(0, 20, (40, 2))
+    g = build_graph(feats, labels, edges, placement="host")
+    qg = quantize_graph(g)
+    assert qg.on_host
+    assert isinstance(qg.features.q, np.ndarray)
+
+
+def test_relabel_rejects_quantized(dense_graph):
+    qg = quantize_graph(dense_graph)
+    with pytest.raises(ValueError, match="relabel before quantizing"):
+        relabel_graph(qg, np.arange(qg.num_nodes)[::-1])
+
+
+# ------------------------------------------------------- forward-path parity
+
+
+MODES = [
+    "mean_pf",        # project-first forced (int8 contraction path)
+    "mean_nopf",      # mean-first (gather_mean_dequant path)
+    "concat_self",
+    "self_loop",
+    "maxpool",
+    "layer0_full",
+]
+
+
+def _model(graph, mode):
+    kw = dict(
+        in_dim=graph.num_features, num_classes=graph.num_classes,
+        hidden_dims=(8, 8), fanouts=(6, 6),
+        matmul_precision="highest", gather_impl="take",
+    )
+    if mode == "mean_pf":
+        kw["project_first"] = True
+    elif mode == "mean_nopf":
+        kw["project_first"] = False
+    elif mode == "concat_self":
+        kw["concat_self"] = True
+        kw["project_first"] = True
+    elif mode == "self_loop":
+        kw["self_loop"] = True
+    elif mode == "maxpool":
+        kw["aggregator"] = "maxpool"
+        kw["pool_dim"] = 12
+    elif mode == "layer0_full":
+        kw["layer0"] = "full"
+    return GraphSAGE(**kw)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_forward_parity_on_prequantized_features(dense_graph, mode):
+    qg = quantize_graph(dense_graph)
+    model = _model(dense_graph, mode)
+    params = model.init(jax.random.PRNGKey(0))
+    seeds = jnp.arange(48, dtype=jnp.int32)
+    frontier = model.sample(jax.random.PRNGKey(3), dense_graph, seeds)
+    dense = np.asarray(
+        model.forward(params, dense_graph.features, frontier, graph=dense_graph)
+    )
+    quant = np.asarray(model.forward(params, qg.features, frontier, graph=qg))
+    np.testing.assert_allclose(quant, dense, rtol=2e-4, atol=2e-5)
+
+
+def test_full_graph_forward_parity(dense_graph):
+    qg = quantize_graph(dense_graph)
+    model = _model(dense_graph, "mean_pf")
+    params = model.init(jax.random.PRNGKey(1))
+    dense = np.asarray(model.forward_full_graph(params, dense_graph))
+    quant = np.asarray(model.forward_full_graph(params, qg))
+    np.testing.assert_allclose(quant, dense, rtol=2e-4, atol=2e-5)
+
+
+def test_injected_gather_fns_reject_quantized(dense_graph):
+    qg = quantize_graph(dense_graph)
+    model = _model(dense_graph, "mean_nopf")
+    params = model.init(jax.random.PRNGKey(2))
+    frontier = model.sample(jax.random.PRNGKey(4), dense_graph, jnp.arange(8))
+    with pytest.raises(ValueError, match="quantized feature tables"):
+        model.forward(
+            params, qg.features, frontier,
+            gather_fn=lambda t, i, m=None: jnp.take(t, i, axis=0),
+        )
+
+
+# ------------------------------------------------------------------ training
+
+
+def test_trainer_on_quantized_graph_learns(dense_graph):
+    qg = quantize_graph(dense_graph)
+    model = GraphSAGE(
+        in_dim=qg.num_features, num_classes=qg.num_classes,
+        hidden_dims=(16, 16), fanouts=(5, 5),
+    )
+    trainer = Trainer(
+        model, qg,
+        TrainConfig(
+            batch_size=128, num_steps=60, learning_rate=0.5, seed=0,
+            log_every=0, test_size=60, val_size=40,
+        ),
+    )
+    result = trainer.run(log=None)
+    losses = np.asarray(result["losses"])
+    assert losses[-10:].mean() < losses[:10].mean() * 0.7
+    # Eval path (full-graph predict) works against the quantized table too.
+    preds = trainer.predict(result["state"], np.arange(64))
+    assert np.asarray(preds).shape[0] == 64
