@@ -301,14 +301,24 @@ def main() -> None:
 
     # BASELINE config #4 at full scale: 1M nodes / 20M directed slots,
     # 3-layer mean.
-    powerlaw_1m = _measure(
-        power_law_graph(num_nodes=1_000_000, num_edges=10_000_000,
-                        num_feats=256, num_classes=32, seed=0,
-                        feature_dtype=jnp.bfloat16, homophily=0.8),
-        GraphSAGE(in_dim=256, num_classes=32, hidden_dims=(256, 256, 256),
-                  fanouts=(5, 10, 15), compute_dtype=jnp.bfloat16),
-        batch=4096, steps_per_block=50, blocks=2,
-    )
+    graph_1m = power_law_graph(num_nodes=1_000_000, num_edges=10_000_000,
+                               num_feats=256, num_classes=32, seed=0,
+                               feature_dtype=jnp.bfloat16, homophily=0.8)
+    model_1m = GraphSAGE(in_dim=256, num_classes=32,
+                         hidden_dims=(256, 256, 256),
+                         fanouts=(5, 10, 15), compute_dtype=jnp.bfloat16)
+    powerlaw_1m = _measure(graph_1m, model_1m,
+                           batch=4096, steps_per_block=50, blocks=2)
+
+    # Same config with the int8 feature table (ops/quantize.py): half the
+    # deepest-hop gather bytes vs bf16 and a 512->260 MB resident table;
+    # whether the gather TIME moves tells us if it is bandwidth- or
+    # locality-bound at this shape (ROOFLINE §5 headroom 3).
+    from graphsage_tpu.data.graph import quantize_graph
+
+    powerlaw_1m_q = _measure(quantize_graph(graph_1m), model_1m,
+                             batch=4096, steps_per_block=50, blocks=2)
+    del graph_1m
 
     # Full-batch training at the 100K power-law shape — the degree-bucketed
     # scatter-free SpMM path (no reference counterpart: the framework's
@@ -373,6 +383,10 @@ def main() -> None:
         pubmed_l0["edges_per_step"] / pubmed_l0["sec_per_step"]
     )
 
+    import dataclasses as _dc
+
+    _reddit_nopf = _dc.replace(reddit_model, project_first=False)
+
     # Learning floors (round-2 VERDICT item 8): a perf "win" that broke
     # convergence must not produce a green row. Envelopes are the round-3
     # measured final losses with generous headroom; chance = ln(C).
@@ -387,6 +401,7 @@ def main() -> None:
         "powerlaw_100k_nodes_1m_undirected_2m_slots": 0.5,  # ln(16)=2.77
         "reddit_232k_nodes_11m_slots_fanout_10_25": 0.5,    # ln(41)=3.71
         "powerlaw_1m_nodes_20m_slots_3layer": 0.8,          # ln(32)=3.47
+        "powerlaw_1m_int8_table": 0.8,
         "fullbatch_powerlaw_100k_2m_slots_2layer": 0.8,     # ln(16)=2.77
         "pubmed_layer0_full": 0.2,
     }
@@ -397,6 +412,7 @@ def main() -> None:
         "powerlaw_100k_nodes_1m_undirected_2m_slots": powerlaw,
         "reddit_232k_nodes_11m_slots_fanout_10_25": reddit,
         "powerlaw_1m_nodes_20m_slots_3layer": powerlaw_1m,
+        "powerlaw_1m_int8_table": powerlaw_1m_q,
         "fullbatch_powerlaw_100k_2m_slots_2layer": fullbatch,
         "pubmed_layer0_full": pubmed_l0,
         "cora_sharded_feature_dense_1chip": sharded_rows["dense"],
@@ -424,6 +440,17 @@ def main() -> None:
                         for name, row in rows.items()
                     },
                     "sharded_comm_volume_s8_cora": comm_s8,
+                    # Int8 wire effect (raw-row exchange, project_first off
+                    # — with pf on, both ship d0-wide f32 rows and the int8
+                    # saving lands on the local table read instead).
+                    "sharded_comm_volume_s8_reddit_rawrows": {
+                        "bf16": sharded_comm_stats(
+                            _reddit_nopf, 512, 8, feature_dtype=jnp.bfloat16
+                        )["gather_compact_bytes_per_chip_step"],
+                        "int8": sharded_comm_stats(
+                            _reddit_nopf, 512, 8, quantized=True
+                        )["gather_compact_bytes_per_chip_step"],
+                    },
                     "serving_table_tier_pubmed": serving,
                     # layer0="full" sharded: d0-wide gather rows + the
                     # per-step table-build exchange (all_gather of the

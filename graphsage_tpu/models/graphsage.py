@@ -169,6 +169,23 @@ class GraphSAGE:
             return d_in > self.hidden_dims[layer]
         return bool(self.project_first)
 
+    def injected_layer0_project_first(self, quantized: bool) -> bool:
+        """Project-first decision for INJECTED gather paths (the node-sharded
+        feature store), where the choice is comm-driven: projecting first
+        makes every cross-shard exchange move ``4*d0``-byte f32 table rows
+        instead of feature rows. Dense tables keep the width heuristic
+        (``d_in > d0`` — byte-identical rows at f32, the measured default);
+        int8 tables compare actual bytes: a raw feature row is ``F + 4``
+        bytes (int8 + scale), so projecting only pays when ``4*d0`` is
+        smaller than THAT."""
+        if self.aggregator != "mean":
+            return False
+        if self.project_first != "auto":
+            return bool(self.project_first)
+        if not quantized:
+            return self.in_dim > self.hidden_dims[0]
+        return 4 * self.hidden_dims[0] < self.in_dim + 4
+
     def _sampled_layer0_project_first(
         self, num_nodes: int, slots: int, feat_bytes: int
     ) -> bool:
@@ -397,13 +414,6 @@ class GraphSAGE:
         # comm-driven (made in parallel/feature_store.py).
         default_gathers = gather_fn is None and gather_mean_fn is None
         quantized = is_quantized(features)
-        if quantized and not default_gathers:
-            raise ValueError(
-                "quantized feature tables are not supported with injected "
-                "gather fns (the node-sharded feature store keeps dense "
-                "tables) — dequantize() first or use the single-table "
-                "trainers"
-            )
         if gather_fn is None:
             # Dispatch on the *table* type, not on `quantized`: the same fn
             # also gathers from computed dense tables (layer-0 table,
@@ -456,10 +466,11 @@ class GraphSAGE:
                 self._sampled_layer0_project_first(
                     features.shape[0],
                     int(neigh_ids.size),
-                    self.in_dim * jnp.dtype(features.dtype).itemsize,
+                    self.in_dim * jnp.dtype(features.dtype).itemsize
+                    + (4 if quantized else 0),
                 )
                 if default_gathers
-                else self.use_project_first(0, self.in_dim)
+                else self.injected_layer0_project_first(quantized)
             )
             if pf:
                 # Project the whole table to d_out once on the MXU, then

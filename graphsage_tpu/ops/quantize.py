@@ -24,11 +24,12 @@ Quantization is symmetric per-row: ``scale[n] = max|x[n,:]| / 127``,
 of the pipeline on pre-quantized inputs instead, where the only difference is
 representation, not value.
 
-Scope: the single-table trainers (``Trainer``, ``FullGraphTrainer``) and the
-sampled/full forward paths accept a :class:`QuantizedTable` anywhere they
-accept a dense ``features`` array. The node-sharded feature store keeps dense
-tables for now (its row *exchanges* are the natural next consumer — an int8
-all_to_all halves boundary traffic; see docs/ROOFLINE.md).
+Scope: every trainer accepts a :class:`QuantizedTable` anywhere it accepts a
+dense ``features`` array — the single-table trainers gather int8 rows
+locally, and the node-sharded feature store shards ``q`` + scales on the same
+node ranges and moves int8 rows (+4-byte scales) through its cross-shard
+exchanges: ``F + 4`` bytes per answered row instead of ``4F`` on the wire
+(parallel/feature_store.py).
 """
 
 from __future__ import annotations
@@ -89,6 +90,18 @@ def quantize_features(x) -> QuantizedTable:
     return QuantizedTable(q=q, scale=scale)
 
 
+def quantize_rows(x: jax.Array) -> QuantizedTable:
+    """Trace-friendly row quantization over the LAST axis of any rank
+    (``[..., F]`` -> q ``[..., F]`` int8 + scale ``[..., 1]`` f32) — the
+    in-jit variant used e.g. by the serving table tier to quantize the
+    refreshed embedding table without leaving the device."""
+    xf = x.astype(jnp.float32)
+    maxabs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(maxabs > 0, maxabs / 127.0, 1.0).astype(jnp.float32)
+    q = jnp.clip(jnp.rint(xf / scale), -127, 127).astype(jnp.int8)
+    return QuantizedTable(q=q, scale=scale)
+
+
 def dequantize(qt: QuantizedTable, dtype=jnp.float32) -> jax.Array:
     """Full dense table ``q * scale`` (materializes ``[N, F]`` — the fallback
     for paths that want a dense array, e.g. the full-graph layers)."""
@@ -122,6 +135,15 @@ def gather_mean_dequant(
     total = jnp.sum(rows * (s * m), axis=-2)
     count = jnp.sum(m, axis=-2)
     return total / jnp.maximum(count, 1.0)
+
+
+def dense_host_view(features) -> np.ndarray:
+    """Host numpy dense view of a feature table (dequantizing if needed) —
+    for host-side preprocessing that wants raw rows (halo h0 stacking,
+    partition builds). Runs once on the host; never touches the device."""
+    if isinstance(features, QuantizedTable):
+        return np.asarray(features.q, np.float32) * np.asarray(features.scale)
+    return np.asarray(features)
 
 
 def project_table(

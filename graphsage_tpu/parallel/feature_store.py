@@ -59,11 +59,19 @@ import optax
 from graphsage_tpu.data.graph import Graph
 from graphsage_tpu.models.graphsage import Frontier, GraphSAGE, SAGEParams
 from graphsage_tpu.ops.aggregate import masked_mean
+from graphsage_tpu.ops.quantize import QuantizedTable, is_quantized
 from graphsage_tpu.train.trainer import Trainer, TrainState
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _lead0(shard):
+    """Strip the leading shard_map block dim from a feature-shard payload —
+    a plain ``[1, Np, F]`` array or a :class:`QuantizedTable` of such leaves
+    (plain ``shard[0]`` on a NamedTuple would select a FIELD, not a row)."""
+    return jax.tree_util.tree_map(lambda a: a[0], shard)
 
 
 @struct.dataclass
@@ -83,11 +91,17 @@ class NodeShardedFeatures:
         """Bytes/chip sharded vs replicated — the point of the exercise."""
         itemsize = jnp.dtype(self.shards.dtype).itemsize
         f = int(self.shards.shape[-1])
+        # int8 tables carry a [Np, 1] f32 scale column per chip.
+        scale_b = 4 if is_quantized(self.shards) else 0
         return {
             "num_shards": self.num_shards,
             "rows_per_shard": self.rows_per_shard,
-            "feature_bytes_per_chip": self.rows_per_shard * f * itemsize,
-            "feature_bytes_replicated": self.num_nodes * f * itemsize,
+            "feature_bytes_per_chip": (
+                self.rows_per_shard * (f * itemsize + scale_b)
+            ),
+            "feature_bytes_replicated": (
+                self.num_nodes * (f * itemsize + scale_b)
+            ),
             "memory_reduction": (
                 self.num_nodes / max(self.rows_per_shard, 1)
             ),
@@ -103,19 +117,37 @@ def shard_features(
     the SHARDED layout); without it the array lands on the default device.
     Building from numpy and placing once matters: an intermediate unsharded
     device copy of the full [S, Np, F] stack would silently keep a second
-    whole-table resident and defeat the memory accounting."""
-    feats = np.asarray(features)
+    whole-table resident and defeat the memory accounting.
+
+    A :class:`~graphsage_tpu.ops.quantize.QuantizedTable` shards the same
+    way (q and the per-row scale column split on the same node ranges);
+    the cross-shard gathers then exchange int8 rows + 4-byte scales —
+    see :func:`sharded_row_gather` / :func:`sharded_row_gather_compact`."""
+    quant = is_quantized(features)
+    feats = np.asarray(features.q if quant else features)
     n, f = feats.shape
     rows = _round_up(max(-(-n // num_shards), 1), 8)
-    stacked = np.zeros((num_shards, rows, f), feats.dtype)
-    for s in range(num_shards):
-        lo = min(s * rows, n)
-        hi = min(lo + rows, n)
-        stacked[s, : hi - lo] = feats[lo:hi]
+
+    def stack(a, width, fill=0):
+        out = np.full((num_shards, rows, width), fill, a.dtype)
+        for s in range(num_shards):
+            lo = min(s * rows, n)
+            hi = min(lo + rows, n)
+            out[s, : hi - lo] = a[lo:hi]
+        return out
+
+    if quant:
+        # Padding rows keep scale 1 (their q rows are zero — dequant 0).
+        stacked = QuantizedTable(
+            q=stack(feats, f),
+            scale=stack(np.asarray(features.scale), 1, fill=1),
+        )
+    else:
+        stacked = stack(feats, f)
     placed = (
         jax.device_put(stacked, sharding)
         if sharding is not None
-        else jnp.asarray(stacked)
+        else jax.tree_util.tree_map(jnp.asarray, stacked)
     )
     return NodeShardedFeatures(
         shards=placed,
@@ -268,20 +300,37 @@ def sharded_row_gather(
 
     Returns ``rows[..., F]`` for this chip's requests. See module docstring
     for the exchange pattern and cost.
+
+    A quantized ``table_local`` exchanges int8 partials (+ the 4-byte
+    per-row scales) and dequantizes on the requester — the psum_scatter
+    sums stay in int8 range because each row has exactly one owner (every
+    other partial is a zero row). Not differentiable w.r.t. the table
+    (moot: quantized tables are frozen by construction).
     """
-    np_, f = table_local.shape
+    quant = is_quantized(table_local)
+    arr = table_local.q if quant else table_local
+    np_, f = arr.shape
     flat = ids_local.reshape(-1)
     q = flat.shape[0]
     all_ids = jax.lax.all_gather(flat, axis)  # [S, q] — everyone's requests
     my_first = jax.lax.axis_index(axis) * np_
     loc = all_ids - my_first
     own = (loc >= 0) & (loc < np_)
-    rows = jnp.take(
-        table_local, jnp.clip(loc, 0, np_ - 1).reshape(-1), axis=0
-    ).reshape(all_ids.shape[0], q, f)
-    rows = rows * own[..., None].astype(rows.dtype)
-    # Chip s gets sum over owners of partial[s] == its own rows, complete.
-    mine = jax.lax.psum_scatter(rows, axis, scatter_dimension=0, tiled=False)
+    idx = jnp.clip(loc, 0, np_ - 1).reshape(-1)
+
+    def exchange(a):
+        rows = jnp.take(a, idx, axis=0).reshape(
+            all_ids.shape[0], q, a.shape[-1]
+        )
+        rows = rows * own[..., None].astype(rows.dtype)
+        # Chip s gets sum over owners of partial[s] == its own rows, complete.
+        return jax.lax.psum_scatter(
+            rows, axis, scatter_dimension=0, tiled=False
+        )
+
+    mine = exchange(arr)
+    if quant:
+        mine = mine.astype(jnp.float32) * exchange(table_local.scale)
     return mine.reshape(*ids_local.shape, f)
 
 
@@ -359,16 +408,31 @@ def sharded_row_gather_compact(
     ``capacity`` must cover the worst per-pair request count. Exactness is
     guarded by the caller (the trainers check overflow each step and abort
     loudly rather than training on clipped rows).
+
+    A quantized ``table_local`` answers with int8 rows plus a second (tiny)
+    all_to_all of the 4-byte per-row scales and dequantizes on the
+    requester: ``F + 4`` bytes per answered row instead of ``4F`` —
+    the full int8 saving lands on the wire, where it matters most.
     """
-    np_, f = table_local.shape
+    quant = is_quantized(table_local)
+    arr = table_local.q if quant else table_local
+    np_, f = arr.shape
     shape = ids_local.shape
     flat = ids_local.reshape(-1).astype(jnp.int32)
     s = jax.lax.axis_size(axis)
     my_first = jax.lax.axis_index(axis) * np_
     recv_req, ctx = _route_requests(axis, flat, np_, capacity, valid_mask)
     loc = jnp.clip(recv_req.reshape(-1) - my_first, 0, np_ - 1)
-    answers = jnp.take(table_local, loc, axis=0).reshape(s, capacity, f)
-    return _route_answers(axis, answers, ctx).reshape(*shape, f)
+    answers = jnp.take(arr, loc, axis=0).reshape(s, capacity, f)
+    rows = _route_answers(axis, answers, ctx)
+    if quant:
+        sc = _route_answers(
+            axis,
+            jnp.take(table_local.scale, loc, axis=0).reshape(s, capacity, 1),
+            ctx,
+        )
+        rows = rows.astype(jnp.float32) * sc
+    return rows.reshape(*shape, f)
 
 
 def request_capacity(q_local: int, num_shards: int, slack: float = 1.5) -> int:
@@ -433,6 +497,7 @@ def sharded_comm_stats(
     fully_sharded: bool = False,
     num_nodes: int | None = None,
     layer0_partition=None,
+    quantized: bool = False,
 ) -> dict:
     """Per-chip per-step communication VOLUME (bytes) of the sharded
     trainers, from static shapes alone — the capacity-planning numbers the
@@ -459,8 +524,10 @@ def sharded_comm_stats(
         # compute dtype) — F/d0 times less than feature rows.
         table_dtype = model.compute_dtype or feature_dtype
         row_bytes = model.hidden_dims[0] * jnp.dtype(table_dtype).itemsize
-    elif model.aggregator == "mean" and model.use_project_first(0, model.in_dim):
+    elif model.injected_layer0_project_first(quantized):
         row_bytes = model.hidden_dims[0] * 4  # projected table is f32
+    elif quantized:
+        row_bytes = model.in_dim + 4  # int8 row + per-row f32 scale
     else:
         row_bytes = model.in_dim * jnp.dtype(feature_dtype).itemsize
     dense = compact = 0
@@ -799,6 +866,7 @@ class ShardedFeatureTrainer(Trainer):
         )
 
         def shard_step(params, shard, edge_local, f_ids, f_masks, labels_local):
+            shard_l = _lead0(shard)
             local = Frontier(ids=f_ids, masks=f_masks)
             violated = (
                 self._local_sites_violated(local)
@@ -813,10 +881,10 @@ class ShardedFeatureTrainer(Trainer):
 
             def loss_fn(p):
                 return model.loss(
-                    p, shard[0], local, labels_local,
+                    p, shard_l, local, labels_local,
                     gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
                     layer0_table=(
-                        table_fn(p, shard[0]) if table_fn is not None else None
+                        table_fn(p, shard_l) if table_fn is not None else None
                     ),
                 )
 
@@ -904,6 +972,7 @@ class ShardedFeatureTrainer(Trainer):
         )
 
         def shard_fwd(params, shard, edge_local, f_ids, f_masks):
+            shard_l = _lead0(shard)
             local = Frontier(ids=f_ids, masks=f_masks)
             violated = (
                 self._local_sites_violated(local, model)  # eval fanouts
@@ -916,10 +985,10 @@ class ShardedFeatureTrainer(Trainer):
                 else None
             )
             logits = model.forward(
-                params, shard[0], local,
+                params, shard_l, local,
                 gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
                 layer0_table=(
-                    table_fn(params, shard[0])
+                    table_fn(params, shard_l)
                     if table_fn is not None
                     else None
                 ),
@@ -1279,6 +1348,7 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
         labels_all = self.graph.labels  # [N] int32 — tiny, replicated
 
         def shard_step(params, shard, adj_local, seeds_local, labels_local):
+            shard_l = _lead0(shard)
             frontier, violated = sharded_sample_frontier(
                 axis, model, adj, adj_local, seeds_local[0], sample_key,
                 self.capacity_slack,
@@ -1291,10 +1361,10 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
 
             def loss_fn(p):
                 return model.loss(
-                    p, shard[0], frontier, labels_local,
+                    p, shard_l, frontier, labels_local,
                     gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
                     layer0_table=(
-                        table_fn(p, shard[0]) if table_fn is not None else None
+                        table_fn(p, shard_l) if table_fn is not None else None
                     ),
                 )
 
@@ -1383,6 +1453,7 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
         )
 
         def shard_fwd(params, shard, adj_local, seeds_local):
+            shard_l = _lead0(shard)
             frontier, violated = sharded_sample_frontier(
                 axis, model, adj, adj_local, seeds_local[0], key, slack
             )
@@ -1393,10 +1464,10 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
                 tuple(a[0] for a in adj_local)
             )
             logits = model.forward(
-                params, shard[0], frontier,
+                params, shard_l, frontier,
                 gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
                 layer0_table=(
-                    table_fn(params, shard[0])
+                    table_fn(params, shard_l)
                     if table_fn is not None
                     else None
                 ),

@@ -533,7 +533,11 @@ def build_node_partition(
         raise ValueError(f"unknown sizing {sizing!r}")
     indptr = np.asarray(graph.indptr).astype(np.int64)
     edge_dst = np.asarray(graph.edge_dst)[: graph.num_edges]
-    feats = np.asarray(graph.features)
+    # Halo h0 stacks raw rows — int8 tables dequantize here, once, on the
+    # host (the full-graph path reads dense rows anyway).
+    from graphsage_tpu.ops.quantize import dense_host_view
+
+    feats = dense_host_view(graph.features)
     labels = np.asarray(graph.labels)
     n = graph.num_nodes
     degrees = indptr[1:] - indptr[:-1]

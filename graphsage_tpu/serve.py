@@ -51,6 +51,7 @@ import numpy as np
 
 from graphsage_tpu.data.graph import Graph
 from graphsage_tpu.models.graphsage import GraphSAGE, SAGEParams
+from graphsage_tpu.ops.quantize import is_quantized, quantize_rows
 
 
 class ServingEngine:
@@ -74,6 +75,12 @@ class ServingEngine:
         ``mesh.shape[axis]`` chips (module docstring). ``partition`` is a
         prebuilt :class:`NodePartition`; by default one is built with the
         auto halo levers (``order="auto"``).
+    quantize_table : table mode only — store the refreshed ``[N, d_L]``
+        embedding table as int8 + per-row f32 scales (4x less resident,
+        int8 request gathers). The head matmul consumes dequantized rows;
+        per-request logits shift by at most the embedding quantization
+        error (scale/2 per element) — predictions on well-separated
+        classes are unaffected (test-pinned agreement bound).
     """
 
     def __init__(
@@ -89,6 +96,7 @@ class ServingEngine:
         mesh=None,
         axis: str = "graph",
         partition=None,
+        quantize_table: bool = False,
     ):
         if mode not in ("table", "sampled"):
             raise ValueError(f"unknown serving mode {mode!r}")
@@ -99,8 +107,11 @@ class ServingEngine:
                 "sharded serving is table-mode only (sampled serving at "
                 "scale is FullyShardedTrainer.predict)"
             )
+        if quantize_table and mode != "table":
+            raise ValueError("quantize_table requires mode='table'")
         self.model = model
         self.mode = mode
+        self.quantize_table = quantize_table
         self.buckets = tuple(sorted(set(int(b) for b in batch_buckets)))
         self.params = params
         self._key = jax.random.PRNGKey(seed + 7)  # Trainer's eval key rule
@@ -126,17 +137,28 @@ class ServingEngine:
                 )
             self.partition = partition
             self._h0_payload = partition.h0  # jit ARG (never a constant)
-            self._refresh_jit = jax.jit(
-                lambda p, h0: halo_full_graph_logits(
+
+            def _refresh(p, h0):
+                t = halo_full_graph_logits(
                     model, p, partition, mesh, axis, h0=h0,
                     return_embeddings=True, stacked=True,
                 )
-            )
+                return quantize_rows(t) if self.quantize_table else t
+
+            self._refresh_jit = jax.jit(_refresh)
             self._pos = np.asarray(partition.stacked_index)
 
             def _serve(table, head, pos):
-                flat = table.reshape(-1, table.shape[-1])
-                rows = jnp.take(flat, pos, axis=0)
+                if is_quantized(table):
+                    d = table.q.shape[-1]
+                    rows = jnp.take(
+                        table.q.reshape(-1, d), pos, axis=0
+                    ).astype(jnp.float32) * jnp.take(
+                        table.scale.reshape(-1, 1), pos, axis=0
+                    )
+                else:
+                    flat = table.reshape(-1, table.shape[-1])
+                    rows = jnp.take(flat, pos, axis=0)
                 logits = jnp.einsum(
                     "bd,dc->bc", rows, head.astype(rows.dtype),
                     preferred_element_type=jnp.float32,
@@ -150,10 +172,20 @@ class ServingEngine:
 
         self.graph = graph.to_device() if graph.on_host else graph
         if mode == "table":
-            self._refresh_jit = jax.jit(self.model.embed_full_graph)
+
+            def _refresh(p, g):
+                t = self.model.embed_full_graph(p, g)
+                return quantize_rows(t) if self.quantize_table else t
+
+            self._refresh_jit = jax.jit(_refresh)
 
             def _serve(table, head, ids):
-                rows = jnp.take(table, ids, axis=0)
+                if is_quantized(table):
+                    rows = jnp.take(table.q, ids, axis=0).astype(
+                        jnp.float32
+                    ) * jnp.take(table.scale, ids, axis=0)
+                else:
+                    rows = jnp.take(table, ids, axis=0)
                 logits = jnp.einsum(
                     "bd,dc->bc", rows, head.astype(rows.dtype),
                     preferred_element_type=jnp.float32,
@@ -239,7 +271,11 @@ class ServingEngine:
         boundary-exchange volume from the partition plan."""
         out = {"mode": self.mode, "buckets": self.buckets}
         if self._table is not None:
-            nbytes = int(self._table.size) * self._table.dtype.itemsize
+            nbytes = (
+                self._table.nbytes
+                if is_quantized(self._table)
+                else int(self._table.size) * self._table.dtype.itemsize
+            )
             if self.mesh is not None:
                 s = self._table.shape[0]
                 out["table_bytes_per_chip"] = nbytes // s

@@ -35,8 +35,8 @@ class ModelConfig:
     # GraphSAGE.layer0; wins when num_edges < B * prod(fanouts)).
     layer0: str = "sampled"
     # Int8-quantize the frozen feature table at load time (ops/quantize.py):
-    # 2-4x smaller resident table, int8 deepest-hop gathers. Single-table
-    # trainers only (sampled / full-graph modes).
+    # 2-4x smaller resident table, int8 deepest-hop gathers; in the sharded
+    # modes the cross-shard row exchanges move int8 rows + 4-byte scales.
     quantize_features: bool = False
 
 

@@ -124,18 +124,16 @@ def run_preset(
         placement="host" if mode in ("sharded", "fully-sharded") else "device",
     )
     if config.model.quantize_features:
-        if mode in ("sharded", "fully-sharded"):
-            raise ValueError(
-                "quantize_features is only supported by the single-table "
-                "modes (sampled / full-graph); the sharded feature store "
-                "keeps dense tables"
-            )
+        # Works in every mode: single-table trainers gather int8 rows
+        # locally; the sharded store shards q + scales and its cross-shard
+        # exchanges move int8 rows + 4-byte scales (F+4 bytes/row vs 4F).
         from graphsage_tpu.data.graph import quantize_graph
 
         graph = quantize_graph(graph)
         if log:
             log(f"feature table quantized to int8: "
-                f"{graph.features.nbytes} B resident")
+                f"{graph.features.nbytes} B"
+                + (" (host)" if graph.on_host else " resident"))
     model = build_model(config, graph)
     if mode == "full-graph":
         import dataclasses as _dc
@@ -271,7 +269,7 @@ def main(argv: Optional[list[str]] = None) -> None:
     parser.add_argument("--quantize-features", action="store_true",
                         help="int8-quantize the frozen feature table at load "
                         "time (2-4x smaller resident table, int8 deepest-hop "
-                        "gathers; sampled/full-graph modes)")
+                        "gathers; sharded modes exchange int8 rows + scales)")
     parser.add_argument("--quiet", action="store_true", help="suppress per-step loss")
     parser.add_argument("--log-jsonl", default=None,
                         help="append structured metrics records to this file")

@@ -205,16 +205,117 @@ def test_full_graph_forward_parity(dense_graph):
     np.testing.assert_allclose(quant, dense, rtol=2e-4, atol=2e-5)
 
 
-def test_injected_gather_fns_reject_quantized(dense_graph):
-    qg = quantize_graph(dense_graph)
-    model = _model(dense_graph, "mean_nopf")
-    params = model.init(jax.random.PRNGKey(2))
-    frontier = model.sample(jax.random.PRNGKey(4), dense_graph, jnp.arange(8))
-    with pytest.raises(ValueError, match="quantized feature tables"):
-        model.forward(
-            params, qg.features, frontier,
-            gather_fn=lambda t, i, m=None: jnp.take(t, i, axis=0),
-        )
+def test_injected_project_first_is_byte_aware():
+    """Dense keeps the width rule (d_in > d0); int8 compares actual bytes:
+    projecting to 4*d0-byte f32 rows only pays vs (F + 4)-byte int8 rows."""
+    m = GraphSAGE(in_dim=32, num_classes=5, hidden_dims=(16, 16),
+                  fanouts=(4, 4))
+    assert m.injected_layer0_project_first(quantized=False)  # 32 > 16
+    assert not m.injected_layer0_project_first(quantized=True)  # 64 > 36
+    wide = GraphSAGE(in_dim=602, num_classes=5, hidden_dims=(128, 128),
+                     fanouts=(4, 4))
+    assert wide.injected_layer0_project_first(quantized=True)  # 512 < 606
+    forced = dataclasses.replace(m, project_first=True)
+    assert forced.injected_layer0_project_first(quantized=True)
+
+
+# ------------------------------------------------------------- sharded store
+
+
+@pytest.fixture(scope="module")
+def host_graph():
+    """Host-resident pre-quantized-representable twin for the sharded
+    trainers (they slice features in numpy)."""
+    g = power_law_graph(
+        num_nodes=400, num_edges=1600, num_feats=32, num_classes=5,
+        seed=3, homophily=0.8, placement="host",
+    )
+    dq = np.asarray(dequantize(quantize_features(np.asarray(g.features))))
+    return g.replace(features=dq.astype(np.float32))
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    from graphsage_tpu.parallel.mesh import make_mesh
+
+    return make_mesh({"data": 8})
+
+
+def _sharded_pair(host_graph, mesh8, cls, **kw):
+    from graphsage_tpu.train.config import TrainConfig as TC
+
+    model = GraphSAGE(
+        in_dim=32, num_classes=5, hidden_dims=(16, 16), fanouts=(4, 4),
+        matmul_precision="highest", gather_impl="take",
+    )
+    cfg = TC(batch_size=64, num_steps=4, seed=0, log_every=0,
+             test_size=80, val_size=40, eval_fanouts=(8, 8))
+    dense = cls(model, host_graph, cfg, mesh8, capacity_slack=8.0, **kw)
+    quant = cls(model, quantize_graph(host_graph), cfg, mesh8,
+                capacity_slack=8.0, **kw)
+    return dense, quant
+
+
+@pytest.mark.parametrize("mode", ["dense", "compact"])
+def test_sharded_feature_trainer_quantized_parity(host_graph, mesh8, mode):
+    """Quantized sharded training matches the dense twin exactly on
+    pre-quantized features — through the int8 psum_scatter (dense mode) or
+    the int8 rows + scales all_to_all (compact mode), and despite the two
+    taking DIFFERENT project-first paths (byte-aware rule: 4*16 > 32+4 so
+    int8 exchanges raw rows while f32 projects first) — the reorder
+    identity holds across representations."""
+    from graphsage_tpu.parallel.feature_store import ShardedFeatureTrainer
+
+    dense, quant = _sharded_pair(
+        host_graph, mesh8, ShardedFeatureTrainer, gather_mode=mode
+    )
+    sd, sq = dense.init_state(), quant.init_state()
+    seeds = np.arange(64) % host_graph.num_nodes
+    for _ in range(3):
+        sd, ld = dense.step(sd, seeds)
+        sq, lq = quant.step(sq, seeds)
+    np.testing.assert_allclose(float(lq), float(ld), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(
+        quant.predict(sq, np.arange(32)), dense.predict(sd, np.arange(32))
+    )
+
+
+def test_fully_sharded_trainer_quantized_parity(host_graph, mesh8):
+    """FullyShardedTrainer: distributed sampling + compact int8 gather."""
+    from graphsage_tpu.parallel.feature_store import FullyShardedTrainer
+
+    dense, quant = _sharded_pair(host_graph, mesh8, FullyShardedTrainer)
+    sd, sq = dense.init_state(), quant.init_state()
+    seeds = np.arange(64) % host_graph.num_nodes
+    for _ in range(3):
+        sd, ld = dense.step(sd, seeds)
+        sq, lq = quant.step(sq, seeds)
+    np.testing.assert_allclose(float(lq), float(ld), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(
+        quant.predict(sq, np.arange(32)), dense.predict(sd, np.arange(32))
+    )
+
+
+def test_sharded_memory_and_comm_stats_quantized(host_graph, mesh8):
+    from graphsage_tpu.parallel.feature_store import (
+        FullyShardedTrainer,
+        sharded_comm_stats,
+        shard_features,
+    )
+
+    qt = quantize_features(np.asarray(host_graph.features))
+    store = shard_features(qt, 8)
+    stats = store.memory_stats()
+    # int8 row + 4-byte scale per row, per chip.
+    assert stats["feature_bytes_per_chip"] == store.rows_per_shard * (32 + 4)
+    model = GraphSAGE(in_dim=32, num_classes=5, hidden_dims=(16, 16),
+                      fanouts=(4, 4))
+    cq = sharded_comm_stats(model, 64, 8, quantized=True)
+    cd = sharded_comm_stats(model, 64, 8)
+    assert (
+        cq["gather_compact_bytes_per_chip_step"]
+        < cd["gather_compact_bytes_per_chip_step"]
+    )
 
 
 # ------------------------------------------------------------------ training

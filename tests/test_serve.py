@@ -157,6 +157,81 @@ def test_sharded_table_tier_matches_replicated(graph, agg):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_quantized_table_tier(graph, trained):
+    """quantize_table=True: 4x smaller resident table; logits within the
+    per-row quantization bound of the f32 tier and near-total prediction
+    agreement (embeddings are well-separated after training)."""
+    model, tr, st = trained
+    f32 = ServingEngine(model, graph, st.params, batch_buckets=(64,))
+    q8 = ServingEngine(model, graph, st.params, batch_buckets=(64,),
+                       quantize_table=True)
+    ms_f, ms_q = f32.memory_stats(), q8.memory_stats()
+    assert ms_q["table_bytes_per_chip"] * 3 < ms_f["table_bytes_per_chip"]
+    nodes = np.arange(graph.num_nodes)
+    lf, lq = f32.logits(nodes), q8.logits(nodes)
+    # Error bound: |rows_q - rows| <= scale/2 per element; through the head
+    # that is scale/2 * sum|head| per logit.
+    scale = np.asarray(q8.table.scale)
+    head = np.abs(np.asarray(st.params.head)).sum(axis=0)  # [C]
+    bound = (scale / 2) * head[None, :] + 1e-5
+    assert np.all(np.abs(lq - lf) <= bound)
+    agree = (q8.predict(nodes) == f32.predict(nodes)).mean()
+    assert agree > 0.99
+    # refresh keeps the table quantized
+    q8.refresh(st.params)
+    from graphsage_tpu.ops.quantize import is_quantized
+    assert is_quantized(q8.table)
+
+
+def test_quantized_sharded_table_tier(graph, trained):
+    from graphsage_tpu.parallel.mesh import make_mesh
+
+    model, _, st = trained
+    mesh = make_mesh({"graph": 8})
+    q_repl = ServingEngine(model, graph, st.params, batch_buckets=(64,),
+                           quantize_table=True)
+    q_shard = ServingEngine(model, graph, st.params, batch_buckets=(64,),
+                            quantize_table=True, mesh=mesh)
+    assert q_shard.table.shape[0] == 8
+    nodes = np.arange(graph.num_nodes)
+    # Same quantization applied to the same table values (halo refresh is
+    # allclose to replicated; int8 rounding may differ only at ties).
+    np.testing.assert_allclose(
+        q_shard.logits(nodes), q_repl.logits(nodes), rtol=1e-3, atol=1e-3
+    )
+    assert (q_shard.predict(nodes) == q_repl.predict(nodes)).mean() > 0.99
+
+
+def test_quantize_table_guard(graph, trained):
+    model, _, st = trained
+    with pytest.raises(ValueError, match="quantize_table"):
+        ServingEngine(model, graph, st.params, mode="sampled",
+                      quantize_table=True)
+
+
+def test_serving_quantized_input_features(graph, trained):
+    """A quantized INPUT graph serves through both modes (forward
+    dequantizes); on pre-quantized features the table tier is exact."""
+    from graphsage_tpu.data.graph import quantize_graph
+    from graphsage_tpu.ops.quantize import dequantize, quantize_features
+
+    model, _, st = trained
+    dq = np.asarray(dequantize(quantize_features(np.asarray(graph.features))))
+    dense = graph.replace(features=dq)
+    quant = quantize_graph(dense)
+    e_dense = ServingEngine(model, dense, st.params, batch_buckets=(64,))
+    e_quant = ServingEngine(model, quant, st.params, batch_buckets=(64,))
+    nodes = np.arange(128)
+    np.testing.assert_allclose(e_quant.logits(nodes), e_dense.logits(nodes),
+                               rtol=2e-4, atol=2e-5)
+    s_dense = ServingEngine(model, dense, st.params, batch_buckets=(64,),
+                            mode="sampled")
+    s_quant = ServingEngine(model, quant, st.params, batch_buckets=(64,),
+                            mode="sampled")
+    np.testing.assert_allclose(s_quant.logits(nodes), s_dense.logits(nodes),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_memory_stats(graph, trained):
     from graphsage_tpu.parallel.mesh import make_mesh
 
