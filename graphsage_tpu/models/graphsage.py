@@ -317,16 +317,7 @@ class GraphSAGE:
         stays allclose to the replicated one."""
         if self.layer0 != "full":
             raise ValueError("layer0_full_table requires layer0='full'")
-        # Quantized tables dequantize into the compute dtype for the one
-        # full-graph pass (a transient [N, F] buffer — the resident table
-        # stays int8; a project-first int8 specialization is future work).
-        h0 = (
-            dequantize(features, self.compute_dtype or jnp.float32)
-            if is_quantized(features)
-            else features
-        )
-        if self.compute_dtype is not None:
-            h0 = h0.astype(self.compute_dtype)
+        quantized = is_quantized(features)
         if self.aggregator == "mean":
             if spmm is None:
                 if graph is None:
@@ -343,13 +334,55 @@ class GraphSAGE:
                     )
                     return mean, graph.degrees
 
+            pf = self.use_project_first(0, self.in_dim)
+            if quantized and pf:
+                # Int8 project-first: contract the raw int8 table against
+                # each weight slice (no dense [N, F] transient; half the
+                # table read) and run the SAME spmm closure — the pf branch
+                # of apply_full_graph_mean_layer restated on project_table
+                # (pinned equal in tests/test_quantize.py).
+                h_dtype = self.compute_dtype or params.layers[0].weight.dtype
+                w = params.layers[0].weight.astype(h_dtype)
+                w_self, w_neigh = split_mean_weight(
+                    w, self.in_dim, self.concat_self
+                )
+                hp = project_table(
+                    features, w_neigh, precision=self.matmul_precision
+                ).astype(h_dtype)
+                mean, cnt = spmm(hp)
+                pre = mean.astype(jnp.float32)
+                if self.self_loop:
+                    c = cnt.astype(jnp.float32)[..., None]
+                    pre = (pre * c + hp.astype(jnp.float32)) / (c + 1.0)
+                if self.concat_self:
+                    pre = pre + project_table(
+                        features, w_self, precision=self.matmul_precision
+                    )
+                return jax.nn.relu(pre).astype(h_dtype)
+            h0 = (
+                dequantize(features, self.compute_dtype or jnp.float32)
+                if quantized
+                else features
+            )
+            if self.compute_dtype is not None:
+                h0 = h0.astype(self.compute_dtype)
             return apply_full_graph_mean_layer(
                 params.layers[0], h0, spmm,
                 concat_self=self.concat_self,
                 self_loop=self.self_loop,
-                project_first=self.use_project_first(0, self.in_dim),
+                project_first=pf,
                 precision=self.matmul_precision,
             )
+        # Maxpool (and the non-mean fallthrough) read dense rows: quantized
+        # tables dequantize into a transient for the one full-graph pass
+        # (the resident table stays int8).
+        h0 = (
+            dequantize(features, self.compute_dtype or jnp.float32)
+            if quantized
+            else features
+        )
+        if self.compute_dtype is not None:
+            h0 = h0.astype(self.compute_dtype)
         # Maxpool layer 0: per-node pooling MLP once over all nodes,
         # per-edge gather + guarded segment-max (same closure as
         # forward_full_graph). The backward of segment_max is still a

@@ -155,7 +155,10 @@ MODES = [
     "concat_self",
     "self_loop",
     "maxpool",
-    "layer0_full",
+    "layer0_full",            # int8 pf table build (no dense transient)
+    "layer0_full_self_loop",
+    "layer0_full_concat",
+    "layer0_full_maxpool",    # dequant-transient table build
 ]
 
 
@@ -177,8 +180,15 @@ def _model(graph, mode):
     elif mode == "maxpool":
         kw["aggregator"] = "maxpool"
         kw["pool_dim"] = 12
-    elif mode == "layer0_full":
+    elif mode.startswith("layer0_full"):
         kw["layer0"] = "full"
+        if mode.endswith("self_loop"):
+            kw["self_loop"] = True
+        elif mode.endswith("concat"):
+            kw["concat_self"] = True
+        elif mode.endswith("maxpool"):
+            kw["aggregator"] = "maxpool"
+            kw["pool_dim"] = 12
     return GraphSAGE(**kw)
 
 
