@@ -70,9 +70,19 @@ def graph_shardings(mesh: Mesh, graph, model_axis: str | None = "model"):
     model_axis = model_axis if model_axis in mesh.axis_names else None
     repl = named(mesh)
     feat_sharding = named(mesh, None, model_axis)
-    feats = graph.features
+    # ``features`` may be a QuantizedTable subtree: its q [N, F] splits on
+    # the feature dim like a dense table, but the [N, 1] per-row scale
+    # column has nothing to split — it replicates.
+    feat_ids = {
+        id(leaf) for leaf in jax.tree_util.tree_leaves(graph.features)
+    }
     return jax.tree_util.tree_map(
-        lambda leaf: feat_sharding if leaf is feats else repl, graph
+        lambda leaf: (
+            feat_sharding
+            if id(leaf) in feat_ids and leaf.ndim == 2 and leaf.shape[1] > 1
+            else repl
+        ),
+        graph,
     )
 
 

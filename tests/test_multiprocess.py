@@ -117,6 +117,40 @@ WORKER = textwrap.dedent(
     dp_loss = float(np.asarray(jax.device_get(dp_loss)))
     assert abs(dp_loss - local_loss) < 1e-5, (dp_loss, local_loss)
 
+    # --- int8 quantized-store exchange across the process boundary ------
+    # The int8 psum_scatter (dense sharded gather) must survive a REAL
+    # process-crossing collective, not just the single-process CPU mesh:
+    # every shard requests the rows owned by the shard 4 apart — for
+    # shards 0-3 that owner lives in the OTHER process.
+    from graphsage_tpu.ops.quantize import dequantize, quantize_features
+    from graphsage_tpu.parallel.feature_store import (
+        _lead0, shard_features, sharded_row_gather,
+    )
+
+    feats16 = (np.arange(64, dtype=np.float32).reshape(16, 4) - 30.0) * 0.37
+    qt = quantize_features(feats16)
+    store = shard_features(qt, 8)  # rows_per_shard == 2
+    ids16 = np.stack(
+        [np.array([((s + 4) % 8) * 2, ((s + 4) % 8) * 2 + 1], np.int32)
+         for s in range(8)]
+    )
+    rows = jax.jit(
+        shard_map(
+            lambda sh, i: sharded_row_gather("data", _lead0(sh), i[0])[None],
+            mesh=mesh,
+            in_specs=(P("data"), P("data")),
+            out_specs=P("data"),
+        )
+    )(
+        globalize(store.shards, NamedSharding(mesh, P("data"))),
+        globalize(ids16, NamedSharding(mesh, P("data"))),
+    )
+    rows_all = np.asarray(
+        mhu.process_allgather(rows, tiled=True)
+    ).reshape(16, 4)
+    want_rows = np.asarray(dequantize(qt))[ids16.reshape(-1)]
+    assert np.allclose(rows_all, want_rows, atol=1e-6), (rows_all, want_rows)
+
     # --- a FULL training step (grads + SGD) across the process mesh ----
     import optax
     tx = optax.sgd(0.5)

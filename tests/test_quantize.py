@@ -306,6 +306,33 @@ def test_fully_sharded_trainer_quantized_parity(host_graph, mesh8):
     )
 
 
+def test_dp_tp_sharded_trainer_quantized_parity(host_graph):
+    """ShardedTrainer (DP over seeds + TP over the feature dim): the q
+    table splits on the feature axis like a dense table while the [N, 1]
+    scale column replicates (graph_shardings special-cases the subtree);
+    lockstep-equal to the dense twin on pre-quantized features."""
+    from graphsage_tpu.parallel.distributed import ShardedTrainer
+    from graphsage_tpu.parallel.mesh import make_mesh
+    from graphsage_tpu.train.config import TrainConfig as TC
+
+    graph = host_graph.to_device()
+    model = GraphSAGE(
+        in_dim=32, num_classes=5, hidden_dims=(16, 16), fanouts=(4, 4),
+        matmul_precision="highest", gather_impl="take",
+    )
+    cfg = TC(batch_size=64, num_steps=4, seed=0, log_every=0,
+             test_size=80, val_size=40)
+    mesh = make_mesh({"data": 4, "model": 2})
+    dense = ShardedTrainer(model, graph, cfg, mesh)
+    quant = ShardedTrainer(model, quantize_graph(graph), cfg, mesh)
+    sd, sq = dense.init_state(), quant.init_state()
+    seeds = np.arange(64) % graph.num_nodes
+    for _ in range(3):
+        sd, ld = dense.step(sd, seeds)
+        sq, lq = quant.step(sq, seeds)
+    np.testing.assert_allclose(float(lq), float(ld), rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_memory_and_comm_stats_quantized(host_graph, mesh8):
     from graphsage_tpu.parallel.feature_store import (
         FullyShardedTrainer,
