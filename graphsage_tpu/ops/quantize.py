@@ -10,7 +10,11 @@ training-loop cost:
 * **HBM capacity**: ``N·F`` int8 bytes + ``4·N`` scale bytes — 2x smaller than
   bf16, 4x smaller than f32 (1M x 256 table: 512 MB f32 -> 260 MB).
 * **Gather traffic**: the deepest-hop gather moves int8 rows; the dequant
-  multiply fuses into the consumer (VPU, free).
+  multiply fuses into the consumer (VPU, free). No int8 variant of the
+  one-hot MXU kernel is needed: small-table configs keep project-first
+  (their gather-mean then runs on the dense f32 *projected* table, where
+  the Pallas one-hot dispatch still applies), and large tables dispatch to
+  the XLA gather anyway.
 * **Exact project-first**: per-row scales commute with the row-wise
   projection — ``(diag(s)·Q) @ W == diag(s)·(Q @ W)`` — and int8 values are
   exactly representable in bf16, so the project-then-aggregate layer-0 path
