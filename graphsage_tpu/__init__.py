@@ -42,6 +42,7 @@ from graphsage_tpu.train.config import ExperimentConfig, ModelConfig, TrainConfi
 from graphsage_tpu.train.experiments import run_cora, run_preset, run_pubmed
 from graphsage_tpu.train.full_graph import FullGraphTrainer
 from graphsage_tpu.train.trainer import Trainer, TrainState
+from graphsage_tpu.train.unsupervised import UnsupervisedTrainer
 
 __version__ = "0.1.0"
 
@@ -62,6 +63,7 @@ __all__ = [
     "ModelConfig",
     "TrainConfig",
     "Trainer",
+    "UnsupervisedTrainer",
     "FullGraphTrainer",
     "ShardedTrainer",
     "ShardedFeatureTrainer",

@@ -142,6 +142,14 @@ class GraphSAGE:
     #     rows — parallel/feature_store.py), and the halo FullGraphTrainer
     #     is the full-batch analog.
     layer0: str = "sampled"
+    # Last-layer nonlinearity. "relu" matches the reference encoder (every
+    # layer ReLUs — reference encoders.py:48); "linear" drops it on the
+    # FINAL layer only — required by the unsupervised graph-context loss
+    # (models/unsupervised.py), whose sigmoid-dot objective collapses to the
+    # all-zero fixed point when embeddings are constrained nonnegative
+    # (every dot >= 0, so the Q negative terms dominate and the cheapest
+    # descent is z -> 0; test-pinned). Supervised training keeps "relu".
+    final_activation: str = "relu"
 
     def __post_init__(self):
         if len(self.hidden_dims) != len(self.fanouts):
@@ -150,10 +158,23 @@ class GraphSAGE:
             raise ValueError("self_loop and concat_self are mutually exclusive")
         if self.layer0 not in ("sampled", "full"):
             raise ValueError(f"unknown layer0 mode {self.layer0!r}")
+        if self.final_activation not in ("relu", "linear"):
+            raise ValueError(
+                f"unknown final_activation {self.final_activation!r}"
+            )
 
     @property
     def num_layers(self) -> int:
         return len(self.hidden_dims)
+
+    def layer_activation(self, layer: int):
+        """Per-layer output nonlinearity (None = identity on the last layer
+        under ``final_activation="linear"``). Every forward path — sampled,
+        full-graph, layer0-full, edge-partitioned, halo — routes through
+        this so the modes stay allclose to each other."""
+        if self.final_activation == "linear" and layer == self.num_layers - 1:
+            return None
+        return jax.nn.relu
 
     def use_project_first(self, layer: int, d_in: int) -> bool:
         """Whether layer ``layer`` aggregates after projecting (mean only).
@@ -358,7 +379,8 @@ class GraphSAGE:
                     pre = pre + project_table(
                         features, w_self, precision=self.matmul_precision
                     )
-                return jax.nn.relu(pre).astype(h_dtype)
+                act0 = self.layer_activation(0) or (lambda x: x)
+                return act0(pre).astype(h_dtype)
             h0 = (
                 dequantize(features, self.compute_dtype or jnp.float32)
                 if quantized
@@ -372,6 +394,7 @@ class GraphSAGE:
                 self_loop=self.self_loop,
                 project_first=pf,
                 precision=self.matmul_precision,
+                activation=self.layer_activation(0),
             )
         # Maxpool (and the non-mean fallthrough) read dense rows: quantized
         # tables dequantize into a transient for the one full-graph pass
@@ -409,6 +432,7 @@ class GraphSAGE:
             concat_self=self.concat_self,
             self_loop=self.self_loop,
             precision=self.matmul_precision,
+            activation=self.layer_activation(0),
         )
 
     # ------------------------------------------------------------- forward
@@ -539,7 +563,8 @@ class GraphSAGE:
                 # Keep activations in compute_dtype when set (mirrors
                 # apply_full_graph_mean_layer's .astype(h.dtype)) so bf16
                 # carries through the remaining layers.
-                h = jax.nn.relu(pre).astype(
+                act0 = self.layer_activation(0) or (lambda x: x)
+                h = act0(pre).astype(
                     self.compute_dtype
                     if self.compute_dtype is not None
                     else params.layers[0].weight.dtype
@@ -564,6 +589,7 @@ class GraphSAGE:
                     compute_dtype=self.compute_dtype,
                     precision=self.matmul_precision,
                     precomputed_agg=agg,
+                    activation=self.layer_activation(0),
                 )
             start_l = 1
         else:
@@ -589,6 +615,7 @@ class GraphSAGE:
                 concat_self=self.concat_self,
                 compute_dtype=self.compute_dtype,
                 precision=self.matmul_precision,
+                activation=self.layer_activation(l),
             )
         if return_embeddings:
             return h.astype(jnp.float32)
@@ -678,6 +705,7 @@ class GraphSAGE:
                     self_loop=self.self_loop,
                     project_first=self.use_project_first(l, d_in),
                     precision=self.matmul_precision,
+                    activation=self.layer_activation(l),
                 )
                 continue
             h = apply_full_graph_maxpool_layer(
@@ -685,6 +713,7 @@ class GraphSAGE:
                 concat_self=self.concat_self,
                 self_loop=self.self_loop,
                 precision=self.matmul_precision,
+                activation=self.layer_activation(l),
             )
         if return_embeddings:
             return h.astype(jnp.float32)

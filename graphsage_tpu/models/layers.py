@@ -95,12 +95,15 @@ def apply_full_graph_mean_layer(
     self_loop: bool,
     project_first: bool,
     precision=None,
+    activation=jax.nn.relu,  # None = linear output (unsupervised last layer)
 ) -> jax.Array:
     """One full-graph mean layer, shared by the single-device, the
     edge-partitioned, and the halo-exchange paths (they differ only in the
     ``spmm`` closure). Keeping this logic in ONE place is what guarantees the
     distributed paths stay allclose to :meth:`GraphSAGE.forward_full_graph`
     across every mode (concat_self / self_loop / project_first)."""
+    if activation is None:
+        activation = lambda x: x  # noqa: E731
     d_in = h.shape[-1]
     w = p.weight.astype(h.dtype)
     if project_first:
@@ -119,13 +122,13 @@ def apply_full_graph_mean_layer(
                 "...i,io->...o", h, w_self,
                 preferred_element_type=jnp.float32, precision=precision,
             )
-        return jax.nn.relu(pre).astype(h.dtype)
+        return activation(pre).astype(h.dtype)
     mean, cnt = spmm(h)
     if self_loop:
         c = cnt.astype(mean.dtype)[..., None]
         mean = (mean * c + h.astype(mean.dtype)) / (c + 1.0)
     combined = jnp.concatenate([h, mean], axis=-1) if concat_self else mean
-    return jax.nn.relu(
+    return activation(
         jnp.einsum(
             "...i,io->...o", combined, w,
             preferred_element_type=jnp.float32, precision=precision,
@@ -141,6 +144,7 @@ def apply_full_graph_maxpool_layer(
     concat_self: bool,
     self_loop: bool,
     precision=None,
+    activation=jax.nn.relu,  # output only; the pooling MLP ReLU is intrinsic
 ) -> jax.Array:
     """One full-graph max-pooling layer, shared by the single-device, the
     edge-partitioned, and the halo-exchange paths (they differ only in the
@@ -148,6 +152,8 @@ def apply_full_graph_maxpool_layer(
     :func:`apply_full_graph_mean_layer`). ``segmax`` receives the pooled
     per-node values and must return the guarded per-destination max (0 on
     empty rows, quirk Q4) plus an optional valid count."""
+    if activation is None:
+        activation = lambda x: x  # noqa: E731
     pooled = jax.nn.relu(
         jnp.einsum(
             "...ni,io->...no", h, p.pool_weight.astype(h.dtype),
@@ -162,7 +168,7 @@ def apply_full_graph_maxpool_layer(
         # elementwise max adds the self loop exactly.
         agg = jnp.maximum(agg, pooled)
     combined = jnp.concatenate([h, agg], axis=-1) if concat_self else agg
-    return jax.nn.relu(
+    return activation(
         jnp.einsum(
             "...ni,io->...no", combined, p.weight.astype(h.dtype),
             preferred_element_type=jnp.float32, precision=precision,

@@ -966,6 +966,7 @@ def halo_full_graph_logits(
                     self_loop=model.self_loop,
                     project_first=model.use_project_first(l, h.shape[-1]),
                     precision=model.matmul_precision,
+                    activation=model.layer_activation(l),
                 )
             else:
                 h = apply_full_graph_maxpool_layer(
@@ -973,6 +974,7 @@ def halo_full_graph_logits(
                     concat_self=model.concat_self,
                     self_loop=model.self_loop,
                     precision=model.matmul_precision,
+                    activation=model.layer_activation(l),
                 )
         if return_embeddings:
             return h.astype(jnp.float32)

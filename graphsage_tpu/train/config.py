@@ -38,6 +38,9 @@ class ModelConfig:
     # 2-4x smaller resident table, int8 deepest-hop gathers; in the sharded
     # modes the cross-shard row exchanges move int8 rows + 4-byte scales.
     quantize_features: bool = False
+    # Last-layer nonlinearity: "relu" (reference behavior) | "linear"
+    # (required by objective="unsupervised" — see GraphSAGE.final_activation).
+    final_activation: str = "relu"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,6 +67,15 @@ class TrainConfig:
     # (steps_per_dispatch=1) makes wall-clock ~50x worse at Cora scale;
     # per-step loss lines are still printed (from the block's loss array).
     steps_per_dispatch: int = 50
+    # Training objective. "supervised" = the reference's cross-entropy on
+    # labels (model.py:35-37). "unsupervised" = the GraphSAGE paper's
+    # graph-context loss (random-walk positives + degree^0.75 negatives;
+    # models/unsupervised.py) — labels are used only by the linear-probe
+    # evaluation, never by the training gradient.
+    objective: str = "supervised"
+    walk_length: int = 3  # positive-pair walk length (unsupervised only)
+    num_negatives: int = 10  # Q negatives per seed (unsupervised only)
+    neg_power: float = 0.75  # degree smoothing for the negative table
 
 
 @dataclasses.dataclass(frozen=True)
@@ -131,6 +143,20 @@ PRESETS: dict[str, ExperimentConfig] = {
                           layer0="full"),
         train=TrainConfig(batch_size=1024, num_steps=200,
                           eval_fanouts=(10, 25)),
+    ),
+    # Unsupervised GraphSAGE on the Cora shape (framework extension — the
+    # reference is supervised-only): graph-context loss, adam, linear-probe
+    # eval. SGD lr 0.7 is far too hot for the sigmoid-dot objective.
+    "cora_unsup": ExperimentConfig(
+        name="cora_unsup",
+        dataset="cora",
+        model=ModelConfig(hidden_dims=(128, 128), fanouts=(10, 10),
+                          final_activation="linear"),
+        train=TrainConfig(
+            batch_size=256, num_steps=150, optimizer="adam",
+            learning_rate=0.01, objective="unsupervised",
+            walk_length=3, num_negatives=10, log_every=10,
+        ),
     ),
     # BASELINE config #3: pooling aggregator on Cora.
     "cora_pool": ExperimentConfig(

@@ -82,6 +82,7 @@ def build_model(config: ExperimentConfig, graph: Graph) -> GraphSAGE:
         gather_impl=m.gather_impl,
         spmm_impl=m.spmm_impl,
         layer0=m.layer0,
+        final_activation=m.final_activation,
     )
 
 
@@ -135,7 +136,17 @@ def run_preset(
                 f"{graph.features.nbytes} B"
                 + (" (host)" if graph.on_host else " resident"))
     model = build_model(config, graph)
-    if mode == "full-graph":
+    if config.train.objective == "unsupervised":
+        if mode != "sampled":
+            raise ValueError(
+                "objective='unsupervised' trains on the single-chip sampled "
+                f"path (got mode={mode!r}); distributed unsupervised is not "
+                "wired up"
+            )
+        from graphsage_tpu.train.unsupervised import UnsupervisedTrainer
+
+        trainer = UnsupervisedTrainer(model, graph, config.train)
+    elif mode == "full-graph":
         import dataclasses as _dc
 
         from graphsage_tpu.train.full_graph import FullGraphTrainer

@@ -1,0 +1,233 @@
+"""Unsupervised objective: walks, negative table, loss, probe, trainer e2e.
+
+The reference has no unsupervised mode (its loss is supervised cross-entropy,
+reference graphsage/model.py:35-37), so there is no parity oracle here — these
+tests pin the GraphSAGE-paper semantics directly: walks stay on real edges,
+negatives follow degree^0.75, the context loss separates a homophilous graph
+well enough for a linear probe to beat both chance and an untrained encoder.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphsage_tpu.data.graph import build_graph
+from graphsage_tpu.data.synthetic import synthetic_cora_graph
+from graphsage_tpu.models.graphsage import GraphSAGE
+from graphsage_tpu.models.unsupervised import linear_probe_predict, unsupervised_loss
+from graphsage_tpu.ops.walks import (
+    negative_cdf,
+    positive_pairs,
+    random_walk,
+    sample_from_cdf,
+)
+from graphsage_tpu.train.config import TrainConfig
+from graphsage_tpu.train.unsupervised import UnsupervisedTrainer
+
+
+# --------------------------------------------------------------------- walks
+def test_random_walk_stays_on_edges(tiny_graph):
+    g = tiny_graph
+    starts = jnp.arange(g.num_nodes, dtype=jnp.int32)
+    walks, valid = jax.jit(lambda k: random_walk(k, g, starts, 4))(
+        jax.random.PRNGKey(0)
+    )
+    walks, valid = np.asarray(walks), np.asarray(valid)
+    assert walks.shape == (g.num_nodes, 5) and valid.shape == walks.shape
+    neigh = {
+        v: set(np.asarray(g.neighbors)[v, : int(np.asarray(g.degrees)[v])].tolist())
+        for v in range(g.num_nodes)
+    }
+    for v in range(g.num_nodes):
+        assert walks[v, 0] == v and valid[v, 0]
+        for t in range(1, 5):
+            if valid[v, t]:
+                assert walks[v, t] in neigh[walks[v, t - 1]]
+            else:
+                # dead walk: stays put, never revives
+                assert walks[v, t] == walks[v, t - 1]
+                assert not valid[v, t:].any()
+
+
+def test_random_walk_isolated_node(tiny_graph):
+    walks, valid = random_walk(
+        jax.random.PRNGKey(1), tiny_graph, jnp.asarray([5], jnp.int32), 3
+    )
+    assert np.asarray(walks).tolist() == [[5, 5, 5, 5]]
+    assert np.asarray(valid).tolist() == [[True, False, False, False]]
+
+
+def test_positive_pairs_valid_and_masked(tiny_graph):
+    g = tiny_graph
+    seeds = jnp.arange(g.num_nodes, dtype=jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(2), 200)
+    pairs = jax.vmap(lambda k: positive_pairs(k, g, seeds, 3))(keys)
+    pos, mask = np.asarray(pairs[0]), np.asarray(pairs[1])
+    # isolated node 5: always itself, always masked out
+    assert (pos[:, 5] == 5).all() and not mask[:, 5].any()
+    # connected nodes always find a positive, and it is a reachable node
+    assert mask[:, :5].all()
+    reach = {0: {1, 2, 3, 4}, 1: {0, 2, 3, 4}, 2: {0, 1, 3, 4}, 3: {0, 1, 2, 4}, 4: {0, 1, 2, 3}}
+    for v in range(5):
+        assert set(np.unique(pos[:, v]).tolist()) <= reach[v] | {v}
+
+
+def test_negative_table_matches_degree_power():
+    # star + chain: degrees far from uniform
+    edges = np.array([[0, i] for i in range(1, 8)] + [[1, 2], [2, 3]])
+    g = build_graph(
+        np.zeros((8, 2), np.float32), np.zeros(8), edges, num_classes=1
+    )
+    deg = np.asarray(g.degrees, np.float64)
+    expect = deg**0.75 / (deg**0.75).sum()
+    cdf = jnp.asarray(negative_cdf(np.asarray(g.degrees)))
+    draws = 60_000
+    ids = np.asarray(
+        jax.jit(lambda k: sample_from_cdf(k, cdf, (draws,)))(jax.random.PRNGKey(7))
+    )
+    freq = np.bincount(ids, minlength=8) / draws
+    np.testing.assert_allclose(freq, expect, atol=0.01)
+
+
+def test_negative_table_edgeless_uniform():
+    cdf = negative_cdf(np.zeros(5, np.int32))
+    ids = np.asarray(sample_from_cdf(jax.random.PRNGKey(0), jnp.asarray(cdf), (5000,)))
+    freq = np.bincount(ids, minlength=5) / 5000
+    np.testing.assert_allclose(freq, 0.2, atol=0.03)
+
+
+# ---------------------------------------------------------------------- loss
+def _small_setup(seed=0):
+    g = synthetic_cora_graph(num_nodes=300, num_feats=64, num_edges=900, seed=seed)
+    model = GraphSAGE(
+        in_dim=64, num_classes=g.num_classes, hidden_dims=(32, 32),
+        fanouts=(5, 5), final_activation="linear",
+    )
+    return g, model
+
+
+def test_unsupervised_loss_finite_and_jittable():
+    g, model = _small_setup()
+    params = model.init(jax.random.PRNGKey(0))
+    cdf = jnp.asarray(negative_cdf(np.asarray(g.degrees)))
+    seeds = jnp.arange(32, dtype=jnp.int32)
+    loss_fn = jax.jit(
+        lambda p, k: unsupervised_loss(
+            model, p, g, k, seeds, cdf, walk_length=3, num_negatives=5
+        )
+    )
+    loss = loss_fn(params, jax.random.PRNGKey(1))
+    # Normalized embeddings bound every per-seed term: each of the 1+Q
+    # sigmoid terms lies in [-log sig(1), -log sig(-1)] = [0.313, 1.313].
+    assert 0.3 * 6 < float(loss) < 1.32 * 6
+    grads = jax.grad(lambda p: loss_fn(p, jax.random.PRNGKey(2)))(params)
+    assert all(
+        np.isfinite(np.asarray(leaf)).all()
+        for leaf in jax.tree_util.tree_leaves(grads)
+    )
+
+
+def test_unsupervised_training_learns_graph_geometry():
+    g, model = _small_setup()
+    cfg = TrainConfig(
+        batch_size=64, num_steps=120, optimizer="adam", learning_rate=0.01,
+        objective="unsupervised", walk_length=3, num_negatives=8,
+        test_size=60, val_size=60, log_every=0, steps_per_dispatch=20,
+    )
+    trainer = UnsupervisedTrainer(model, g, cfg)
+    state0 = trainer.init_state()
+    result = trainer.run(log=None)
+    losses = result["losses"]
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) - 0.3
+    # No zero-collapse: the normalized objective must NOT pin at the
+    # all-zero fixed point value (1+Q)*log2 with dead embeddings.
+    emb = np.asarray(trainer._jit_embed_full(result["state"].params, trainer.graph))
+    norms = np.linalg.norm(emb, axis=1)
+    assert norms.mean() > 0.05
+    # The objective's geometry: edge endpoints more similar than random
+    # pairs, by a clear margin, on the unit sphere the loss optimizes.
+    z = emb / (norms[:, None] + 1e-8)
+    src = np.asarray(g.edge_src)[np.asarray(g.edge_mask)]
+    dst = np.asarray(g.edge_dst)[np.asarray(g.edge_mask)]
+    pos_cos = (z[src] * z[dst]).sum(-1).mean()
+    rng = np.random.default_rng(0)
+    ri, rj = rng.integers(0, g.num_nodes, 4000), rng.integers(0, g.num_nodes, 4000)
+    rand_cos = (z[ri] * z[rj]).sum(-1).mean()
+    assert pos_cos > rand_cos + 0.2
+    # Linear probe on the frozen embeddings solves the labels well above
+    # chance (labels correlate with communities via homophilous edges).
+    f1 = result["val_micro_f1"]
+    assert f1 > 1.0 / g.num_classes + 0.2
+    # labels never reach the training gradient: the head (unused by the
+    # objective) must be bit-identical to its init.
+    np.testing.assert_array_equal(
+        np.asarray(result["state"].params.head), np.asarray(state0.params.head)
+    )
+
+
+def test_run_preset_dispatches_unsupervised(synth_cora_root):
+    from graphsage_tpu.train.experiments import run_preset
+
+    result = run_preset(
+        "cora_unsup", data_root=synth_cora_root, log=None,
+        overrides={"num_steps": 4, "batch_size": 32, "steps_per_dispatch": 1,
+                   "test_size": 100, "val_size": 100},
+    )
+    assert len(result["losses"]) == 4
+    assert np.isfinite(result["val_micro_f1"])
+
+
+def test_unsupervised_rejects_distributed_modes(synth_cora_root):
+    from graphsage_tpu.train.experiments import run_preset
+
+    with pytest.raises(ValueError, match="unsupervised"):
+        run_preset(
+            "cora_unsup", data_root=synth_cora_root, log=None,
+            mode="full-graph",
+            overrides={"test_size": 100, "val_size": 100},
+        )
+
+
+def test_unsupervised_rejects_relu_model():
+    g, model = _small_setup()
+    relu_model = GraphSAGE(
+        in_dim=64, num_classes=g.num_classes, hidden_dims=(32, 32), fanouts=(5, 5)
+    )
+    with pytest.raises(ValueError, match="final_activation"):
+        UnsupervisedTrainer(relu_model, g, TrainConfig(objective="unsupervised"))
+
+
+def test_linear_final_activation_mode_consistency(tiny_graph):
+    """sampled at covering fanouts == full-graph, with the linear last layer
+    (the relu version of this identity is pinned in test_mode_matrix)."""
+    g = tiny_graph
+    model = GraphSAGE(
+        in_dim=4, num_classes=2, hidden_dims=(8, 8), fanouts=(None, None),
+        final_activation="linear", matmul_precision="highest",
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    emb_full = model.embed_full_graph(params, g)
+    frontier = model.sample(jax.random.PRNGKey(1), g, jnp.arange(6, dtype=jnp.int32))
+    emb_sampled = model.forward(
+        params, g.features, frontier, return_embeddings=True, graph=g
+    )
+    np.testing.assert_allclose(
+        np.asarray(emb_sampled), np.asarray(emb_full), rtol=1e-5, atol=1e-5
+    )
+    # the flag actually bites: a linear last layer can go negative
+    assert (np.asarray(emb_full) < 0).any()
+
+
+# --------------------------------------------------------------------- probe
+def test_linear_probe_separable_data():
+    rng = np.random.default_rng(0)
+    centers = np.eye(4, 16, dtype=np.float32) * 4
+    y = rng.integers(0, 4, 400).astype(np.int32)
+    x = centers[y] + rng.normal(0, 0.3, (400, 16)).astype(np.float32)
+    preds = np.asarray(
+        linear_probe_predict(
+            jnp.asarray(x[:300]), jnp.asarray(y[:300]), jnp.asarray(x[300:]), 4
+        )
+    )
+    assert (preds == y[300:]).mean() > 0.95
