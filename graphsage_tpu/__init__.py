@@ -42,7 +42,10 @@ from graphsage_tpu.train.config import ExperimentConfig, ModelConfig, TrainConfi
 from graphsage_tpu.train.experiments import run_cora, run_preset, run_pubmed
 from graphsage_tpu.train.full_graph import FullGraphTrainer
 from graphsage_tpu.train.trainer import Trainer, TrainState
-from graphsage_tpu.train.unsupervised import UnsupervisedTrainer
+from graphsage_tpu.train.unsupervised import (
+    UnsupervisedShardedTrainer,
+    UnsupervisedTrainer,
+)
 
 __version__ = "0.1.0"
 
@@ -64,6 +67,7 @@ __all__ = [
     "TrainConfig",
     "Trainer",
     "UnsupervisedTrainer",
+    "UnsupervisedShardedTrainer",
     "FullGraphTrainer",
     "ShardedTrainer",
     "ShardedFeatureTrainer",

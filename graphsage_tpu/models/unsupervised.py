@@ -32,6 +32,68 @@ from graphsage_tpu.models.graphsage import GraphSAGE, SAGEParams
 from graphsage_tpu.ops.walks import positive_pairs, sample_from_cdf
 
 
+def context_groups(
+    key: jax.Array,
+    graph: Graph,
+    seeds: jax.Array,
+    neg_cdf: jax.Array,
+    *,
+    walk_length: int,
+    num_negatives: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """``(group_seeds [B*(2+Q)], pair_mask [B], sample_key)`` for one step.
+
+    Groups are seed-major — ``(u_i, v_i, n_i1..n_iQ)`` contiguous — so a
+    leading-axis shard of the flattened vector keeps every group whole
+    (what :class:`~graphsage_tpu.train.unsupervised.UnsupervisedShardedTrainer`
+    relies on); the single-chip loss uses the identical layout, which is
+    what makes N-shard vs 1-chip parity exact.
+    """
+    b = seeds.shape[0]
+    k_pos, k_neg, k_sample = jax.random.split(key, 3)
+    pos, pair_mask = positive_pairs(k_pos, graph, seeds, walk_length)
+    negs = sample_from_cdf(k_neg, neg_cdf, (b, num_negatives))
+    groups = jnp.concatenate(
+        [seeds.astype(jnp.int32)[:, None], pos[:, None], negs], axis=1
+    )
+    return groups.reshape(-1), pair_mask, k_sample
+
+
+def context_group_scores(
+    z: jax.Array, pair_mask: jax.Array, num_negatives: int
+) -> tuple[jax.Array, jax.Array]:
+    """``(per_seed_loss [G], kept [G])`` over seed-major ``(u, v, n_1..n_Q)``
+    embedding groups ``z [G*(2+Q), d]``.
+
+    L2-normalizes first (GraphSAGE Algorithm 1 line 7). This is load-bearing,
+    not cosmetic: on raw embeddings the Q negative terms outweigh the single
+    positive near init and the cheapest descent is z -> 0 (loss pins at
+    (1+Q)*log 2 and the encoder dies — observed). On the unit sphere the
+    zero fixed point does not exist and the loss can only move directions.
+    """
+    z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
+    z3 = z.reshape(-1, 2 + num_negatives, z.shape[-1])
+    zu, zv, zn = z3[:, 0], z3[:, 1], z3[:, 2:]
+    pos_score = jnp.sum(zu * zv, axis=-1)
+    neg_score = jnp.einsum("bd,bqd->bq", zu, zn)
+    per_seed = -jax.nn.log_sigmoid(pos_score) - jnp.sum(
+        jax.nn.log_sigmoid(-neg_score), axis=-1
+    )
+    return per_seed, pair_mask.astype(per_seed.dtype)
+
+
+def context_group_loss(
+    z: jax.Array, pair_mask: jax.Array, num_negatives: int
+) -> jax.Array:
+    """Masked-mean graph-context loss (single-device reduction). Distributed
+    callers reduce :func:`context_group_scores` themselves — the denominator
+    must be the GLOBAL pair count and gradients need an explicit psum (the
+    transpose of ``psum`` is identity, so per-shard ``grad`` of a
+    psum-containing loss yields only the local contribution)."""
+    per_seed, kept = context_group_scores(z, pair_mask, num_negatives)
+    return jnp.sum(per_seed * kept) / jnp.maximum(jnp.sum(kept), 1.0)
+
+
 def unsupervised_loss(
     model: GraphSAGE,
     params: SAGEParams,
@@ -43,36 +105,20 @@ def unsupervised_loss(
     walk_length: int = 3,
     num_negatives: int = 10,
 ) -> jax.Array:
-    """Mean graph-context loss over the seed batch.
+    """Mean graph-context loss over the seed batch (single-table path).
 
     Seeds whose walk found no positive (isolated nodes) are dropped from the
     mean via the pair mask — shapes stay static.
     """
-    b = seeds.shape[0]
-    k_pos, k_neg, k_sample = jax.random.split(key, 3)
-    pos, pair_mask = positive_pairs(k_pos, graph, seeds, walk_length)
-    negs = sample_from_cdf(k_neg, neg_cdf, (b, num_negatives))
-    all_seeds = jnp.concatenate(
-        [seeds.astype(jnp.int32), pos, negs.reshape(-1)]
+    group_seeds, pair_mask, k_sample = context_groups(
+        key, graph, seeds, neg_cdf,
+        walk_length=walk_length, num_negatives=num_negatives,
     )
-    frontier = model.sample(k_sample, graph, all_seeds)
+    frontier = model.sample(k_sample, graph, group_seeds)
     z = model.forward(
         params, graph.features, frontier, return_embeddings=True, graph=graph
     )
-    # L2-normalize (GraphSAGE Algorithm 1 line 7). This is load-bearing, not
-    # cosmetic: on raw embeddings the Q negative terms outweigh the single
-    # positive near init and the cheapest descent is z -> 0 (loss pins at
-    # (1+Q)*log 2 and the encoder dies — observed). On the unit sphere the
-    # zero fixed point does not exist and the loss can only move directions.
-    z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
-    zu, zv, zn = z[:b], z[b : 2 * b], z[2 * b :].reshape(b, num_negatives, -1)
-    pos_score = jnp.sum(zu * zv, axis=-1)
-    neg_score = jnp.einsum("bd,bqd->bq", zu, zn)
-    per_seed = -jax.nn.log_sigmoid(pos_score) - jnp.sum(
-        jax.nn.log_sigmoid(-neg_score), axis=-1
-    )
-    kept = pair_mask.astype(per_seed.dtype)
-    return jnp.sum(per_seed * kept) / jnp.maximum(jnp.sum(kept), 1.0)
+    return context_group_loss(z, pair_mask, num_negatives)
 
 
 @partial(jax.jit, static_argnames=("num_classes", "steps"))

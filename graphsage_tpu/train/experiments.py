@@ -137,15 +137,32 @@ def run_preset(
                 + (" (host)" if graph.on_host else " resident"))
     model = build_model(config, graph)
     if config.train.objective == "unsupervised":
-        if mode != "sampled":
-            raise ValueError(
-                "objective='unsupervised' trains on the single-chip sampled "
-                f"path (got mode={mode!r}); distributed unsupervised is not "
-                "wired up"
-            )
-        from graphsage_tpu.train.unsupervised import UnsupervisedTrainer
+        if mode == "sampled":
+            from graphsage_tpu.train.unsupervised import UnsupervisedTrainer
 
-        trainer = UnsupervisedTrainer(model, graph, config.train)
+            trainer = UnsupervisedTrainer(model, graph, config.train)
+        elif mode == "sharded":
+            import jax as _jax
+
+            from graphsage_tpu.parallel.mesh import make_mesh
+            from graphsage_tpu.train.unsupervised import (
+                UnsupervisedShardedTrainer,
+            )
+
+            s = len(_jax.devices())
+            if config.train.batch_size % s:
+                raise ValueError(
+                    f"batch_size {config.train.batch_size} is not divisible "
+                    f"by the {s} visible devices; pass --batch-size"
+                )
+            trainer = UnsupervisedShardedTrainer(
+                model, graph, config.train, make_mesh({"data": s})
+            )
+        else:
+            raise ValueError(
+                "objective='unsupervised' supports mode='sampled' and the "
+                f"node-sharded mode='sharded' (got mode={mode!r})"
+            )
     elif mode == "full-graph":
         import dataclasses as _dc
 

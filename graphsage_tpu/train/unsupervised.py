@@ -1,12 +1,23 @@
-"""Trainer for the unsupervised graph-context objective.
+"""Trainers for the unsupervised graph-context objective.
 
-Same machinery as the supervised :class:`Trainer` — scanned-block jitted
-steps, checkpointing, resume, the reference's split scheme — with the loss
-swapped for :func:`unsupervised_loss` and evaluation swapped for the paper's
+Same machinery as the supervised trainers — scanned-block jitted steps,
+checkpointing, resume, the reference's split scheme — with the loss swapped
+for :func:`unsupervised_loss` and evaluation swapped for the paper's
 protocol: freeze embeddings, fit a linear probe on the train split, report
 its F1 on the requested nodes. Labels are touched ONLY by the probe, never by
 the training gradient (the reference has no counterpart at all — its model is
 supervised-only, reference graphsage/model.py:35-37).
+
+Two tiers:
+
+* :class:`UnsupervisedTrainer` — single chip, replicated table.
+* :class:`UnsupervisedShardedTrainer` — the node-sharded feature store
+  (parallel/feature_store.py): walks/negatives run replicated on the
+  adjacency (which the store keeps), and the `(u, v, n_1..n_Q)` groups are
+  embedded through the SAME cross-shard gather exchange as supervised
+  training. Groups are laid out seed-major so the batch axis shards on
+  whole groups — every shard holds its pairs' u, v, and negatives locally
+  and only the masked-mean reduction crosses chips (one psum).
 """
 
 from __future__ import annotations
@@ -17,8 +28,16 @@ import numpy as np
 
 from graphsage_tpu.data.graph import Graph
 from graphsage_tpu.models.graphsage import GraphSAGE
-from graphsage_tpu.models.unsupervised import linear_probe_predict, unsupervised_loss
+from graphsage_tpu.models.unsupervised import (
+    context_group_scores,
+    context_groups,
+    linear_probe_predict,
+    unsupervised_loss,
+)
 from graphsage_tpu.ops.walks import negative_cdf
+from graphsage_tpu.parallel.feature_store import (
+    ShardedFeatureTrainer as _ShardedFeatureTrainer,
+)
 from graphsage_tpu.train.config import TrainConfig
 from graphsage_tpu.train.trainer import Trainer, TrainState
 
@@ -29,14 +48,7 @@ class UnsupervisedTrainer(Trainer):
     """Self-supervised training; predictions come from a linear probe."""
 
     def __init__(self, model: GraphSAGE, graph: Graph, config: TrainConfig):
-        if model.final_activation != "linear":
-            raise ValueError(
-                "unsupervised training needs final_activation='linear': "
-                "with a ReLU last layer every embedding dot is >= 0, the Q "
-                "negative log-sigmoid terms dominate, and the objective "
-                "collapses to the all-zero fixed point (loss pinned at "
-                "(1+Q)*log 2; test-pinned)"
-            )
+        _require_linear(model)
         super().__init__(model, graph, config)
         # Negative table: one [N] f32 CDF, built host-side once. Threaded
         # through the step as a jit ARGUMENT (via _block_payload) — closing
@@ -98,5 +110,193 @@ class UnsupervisedTrainer(Trainer):
             jnp.asarray(np.asarray(self.graph.labels)[self.train_nodes], jnp.int32),
             emb,
             self.graph.num_classes,
+        )
+        return np.asarray(preds)[nodes]
+
+
+def _require_linear(model: GraphSAGE) -> None:
+    if model.final_activation != "linear":
+        raise ValueError(
+            "unsupervised training needs final_activation='linear': "
+            "with a ReLU last layer every embedding dot is >= 0, the Q "
+            "negative log-sigmoid terms dominate, and the objective "
+            "collapses to the all-zero fixed point (loss pinned at "
+            "(1+Q)*log 2; test-pinned)"
+        )
+
+
+class UnsupervisedShardedTrainer(_ShardedFeatureTrainer):
+    """Unsupervised training through the node-sharded feature store.
+
+    Walks, positives, and negatives are computed replicated on the
+    adjacency (which :class:`ShardedFeatureTrainer` keeps device-resident —
+    only the feature table is sharded). The ``B*(2+Q)`` group seeds are
+    sampled into one frontier exactly like a supervised batch of that size,
+    the frontier shards on whole groups (the group size divides every
+    shard's slice because ``batch_size % num_shards == 0``), and the
+    cross-shard row exchange — dense or compact — is byte-identical
+    machinery to supervised training. Per-chip feature memory stays
+    ``N/S * F``.
+    """
+
+    def __init__(self, model, graph, config, mesh, **kwargs):
+        _require_linear(model)
+        super().__init__(model, graph, config, mesh, **kwargs)
+        self.neg_cdf = jax.device_put(
+            negative_cdf(np.asarray(self._graph_nofeat.degrees), config.neg_power),
+            self._repl,
+        )
+
+    # ------------------------------------------------------------------- step
+    def _block_payload(self):
+        return (*super()._block_payload(), self.neg_cdf)
+
+    def _train_block(self, state, payload, seeds_all):
+        feature_shards, graph, edge_leaves, neg_cdf = payload
+
+        def body(st, seeds):
+            st, loss, violated = self._sharded_step(
+                st, feature_shards, graph, edge_leaves, seeds, neg_cdf
+            )
+            return st, (loss, violated)
+
+        state, (losses, violated) = jax.lax.scan(body, state, seeds_all)
+        return state, losses, violated
+
+    def step(self, state, seeds):
+        seeds = jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl)
+        state, loss, violated = self._jit_step(
+            state, self.feature_shards, self._graph_nofeat,
+            self.edge_slice_leaves, seeds, self.neg_cdf,
+        )
+        if bool(violated):
+            raise ValueError(
+                "compact sharded-gather capacity exceeded this step: a "
+                "per-pair request bucket overflowed (rows would be "
+                "clipped). Increase capacity_slack or use "
+                "gather_mode='dense'."
+            )
+        return state, loss
+
+    def _sharded_step(self, state, feature_shards, graph, edge_leaves, seeds,
+                      neg_cdf):
+        from graphsage_tpu.models.graphsage import Frontier
+        from graphsage_tpu.parallel.feature_store import (
+            _lead0,
+            make_sharded_gather_fns,
+        )
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        model = self.model
+        axis = self.axis
+        q = self.cfg.num_negatives
+        next_key, step_key = jax.random.split(state.key)
+        # Replicated walk/negative sampling + frontier build: identical key
+        # stream and group layout to the single-chip UnsupervisedTrainer —
+        # that is what makes N-shard vs 1-chip parity exact.
+        group_seeds, pair_mask, k_sample = context_groups(
+            step_key, graph, seeds.astype(jnp.int32), neg_cdf,
+            walk_length=self.cfg.walk_length, num_negatives=q,
+        )
+        frontier = model.sample(k_sample, graph, group_seeds)
+        gather_fn, gather_mean_fn = make_sharded_gather_fns(
+            axis, mode=self.gather_mode,
+            num_shards=self.mesh.shape[axis], slack=self.capacity_slack,
+        )
+
+        def shard_step(params, shard, edge_local, f_ids, f_masks, mask_local):
+            shard_l = _lead0(shard)
+            local = Frontier(ids=f_ids, masks=f_masks)
+            violated = (
+                self._local_sites_violated(local)
+                if self.gather_mode == "compact"
+                else jnp.zeros((), bool)
+            )
+            table_fn = (
+                self._layer0_table_fn(edge_local)
+                if model.layer0 == "full"
+                else None
+            )
+            # Global masked-mean denominator OUTSIDE the differentiated fn
+            # (it carries no parameter gradient). Inside it the per-shard
+            # loss is local-numerator / global-count, so — exactly like the
+            # supervised step — the global loss and gradient are the psum of
+            # the per-shard values. (A psum inside loss_fn would NOT make
+            # grads global: psum's transpose is identity, so per-shard grad
+            # of a psum'd loss is only the local contribution.)
+            den = jnp.maximum(
+                jax.lax.psum(jnp.sum(mask_local.astype(jnp.float32)), axis),
+                1.0,
+            )
+
+            def loss_fn(p):
+                z = model.forward(
+                    p, shard_l, local, return_embeddings=True,
+                    gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
+                    layer0_table=(
+                        table_fn(p, shard_l) if table_fn is not None else None
+                    ),
+                )
+                per_seed, kept = context_group_scores(z, mask_local, q)
+                return jnp.sum(per_seed * kept) / den
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            loss = jax.lax.psum(loss, axis)
+            grads = jax.tree_util.tree_map(
+                lambda t: jax.lax.psum(t, axis), grads
+            )
+            violated_any = jax.lax.psum(violated.astype(jnp.int32), axis) > 0
+            return loss, grads, violated_any
+
+        loss, grads, violated = shard_map(
+            shard_step,
+            mesh=self.mesh,
+            in_specs=(
+                P(), P(axis),
+                (P(axis),) * len(edge_leaves),
+                (P(axis),) * len(frontier.ids),
+                (P(axis),) * len(frontier.masks),
+                P(axis),
+            ),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(state.params, feature_shards, edge_leaves,
+          frontier.ids, frontier.masks, pair_mask)
+
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                params=params, opt_state=opt_state, key=next_key,
+                step=state.step + 1,
+            ),
+            loss,
+            violated,
+        )
+
+    # ------------------------------------------------------------------- eval
+    def predict(self, state, nodes):
+        """Linear-probe predictions (the paper's protocol), embeddings from
+        the deterministic full-graph forward on a TRANSIENT device copy of
+        the source graph — the same documented trade as the supervised
+        sharded trainer's ``eval_fanouts=None`` path (probe fitting needs
+        train-split embeddings, which is inherently a full-graph pass)."""
+        nodes = np.asarray(nodes)
+        g = (
+            self._source_graph.to_device()
+            if self._source_graph.on_host
+            else self._source_graph
+        )
+        emb = self.model.embed_full_graph(state.params, g)
+        emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
+        preds = linear_probe_predict(
+            emb[jnp.asarray(self.train_nodes, jnp.int32)],
+            jnp.asarray(
+                np.asarray(self._source_graph.labels)[self.train_nodes],
+                jnp.int32,
+            ),
+            emb,
+            self._source_graph.num_classes,
         )
         return np.asarray(preds)[nodes]

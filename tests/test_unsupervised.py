@@ -219,6 +219,64 @@ def test_linear_final_activation_mode_consistency(tiny_graph):
     assert (np.asarray(emb_full) < 0).any()
 
 
+# ------------------------------------------------------------------- sharded
+@pytest.mark.parametrize("gather_mode", ["dense", "compact"])
+def test_unsupervised_sharded_matches_single_chip(gather_mode):
+    import dataclasses
+
+    from graphsage_tpu.parallel.mesh import make_mesh
+    from graphsage_tpu.train.trainer import Trainer as _  # noqa: F401
+    from graphsage_tpu.train.unsupervised import UnsupervisedShardedTrainer
+
+    g, model = _small_setup()
+    model = dataclasses.replace(
+        model, gather_impl="take", matmul_precision="highest"
+    )
+    cfg = TrainConfig(
+        batch_size=32, num_steps=4, optimizer="adam", learning_rate=0.01,
+        objective="unsupervised", walk_length=3, num_negatives=6,
+        test_size=40, val_size=40, log_every=0,
+    )
+    single = UnsupervisedTrainer(model, g, cfg)
+    sharded = UnsupervisedShardedTrainer(
+        model, g, cfg, make_mesh({"data": 8}), gather_mode=gather_mode,
+        capacity_slack=4.0,
+    )
+    s1, s2 = single.init_state(), sharded.init_state()
+    it1, it2 = single.batches(), sharded.batches()
+    for _step in range(cfg.num_steps):
+        s1, l1 = single.step(s1, next(it1))
+        s2, l2 = sharded.step(s2, next(it2))
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5, atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        ),
+        s1.params, s2.params,
+    )
+
+
+def test_unsupervised_sharded_run_block_dispatch_and_probe():
+    from graphsage_tpu.parallel.mesh import make_mesh
+    from graphsage_tpu.train.unsupervised import UnsupervisedShardedTrainer
+
+    g, model = _small_setup()
+    cfg = TrainConfig(
+        batch_size=32, num_steps=8, steps_per_dispatch=4, optimizer="adam",
+        learning_rate=0.01, objective="unsupervised", walk_length=3,
+        num_negatives=6, test_size=40, val_size=40, log_every=0,
+    )
+    trainer = UnsupervisedShardedTrainer(
+        model, g.to_host(), cfg, make_mesh({"data": 8})
+    )
+    result = trainer.run(log=None)
+    assert len(result["losses"]) == 8
+    assert np.isfinite(result["losses"]).all()
+    assert np.isfinite(result["val_micro_f1"])
+    stats = trainer.memory_stats()
+    assert stats["feature_bytes_per_chip"] * 8 < 1.5 * stats["feature_bytes_replicated"]
+
+
 # --------------------------------------------------------------------- probe
 def test_linear_probe_separable_data():
     rng = np.random.default_rng(0)
