@@ -289,3 +289,37 @@ def test_linear_probe_separable_data():
         )
     )
     assert (preds == y[300:]).mean() > 0.95
+
+
+def test_unsupervised_sharded_layer0_full_matches_single_chip():
+    """The shared-table layer 0 composes with the unsupervised sharded step
+    (the `_sharded_step` table_fn branch): lockstep parity vs the single-chip
+    trainer, same seeds, same key stream."""
+    import dataclasses
+
+    from graphsage_tpu.parallel.mesh import make_mesh
+    from graphsage_tpu.train.unsupervised import UnsupervisedShardedTrainer
+
+    g, model = _small_setup()
+    model = dataclasses.replace(
+        model, layer0="full", gather_impl="take", matmul_precision="highest"
+    )
+    cfg = TrainConfig(
+        batch_size=32, num_steps=3, optimizer="adam", learning_rate=0.01,
+        objective="unsupervised", walk_length=3, num_negatives=6,
+        test_size=40, val_size=40, log_every=0,
+    )
+    single = UnsupervisedTrainer(model, g, cfg)
+    sharded = UnsupervisedShardedTrainer(model, g, cfg, make_mesh({"data": 8}))
+    s1, s2 = single.init_state(), sharded.init_state()
+    it1, it2 = single.batches(), sharded.batches()
+    for _step in range(cfg.num_steps):
+        s1, l1 = single.step(s1, next(it1))
+        s2, l2 = sharded.step(s2, next(it2))
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5, atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        ),
+        s1.params, s2.params,
+    )
