@@ -96,7 +96,14 @@ class GraphSAGE:
     num_classes: int
     hidden_dims: Sequence[int] = (128, 128)
     fanouts: Sequence[int | None] = (10, 10)  # per layer; layer 0 = input-closest
-    aggregator: str = "mean"  # "mean" | "maxpool"
+    # "mean" | "maxpool" | "lstm" — the paper's full aggregator family
+    # (§3.3; the reference ships only the mean). "lstm" scans the sampled
+    # neighbor sequence (models/layers.py:masked_lstm); pool_dim doubles as
+    # its hidden width. Sequence order: random subset order below degree
+    # (fresh draw per step — the paper's random permutation), adjacency
+    # order at covering fanouts (deterministic; sampled == full-graph
+    # parity is exact there, test-pinned).
+    aggregator: str = "mean"
     concat_self: bool = False  # False = reference shipped mode (Q2)
     # GCN-style self loops: each node's own representation joins the
     # neighbor set before the mean/max (what the reference's dead
@@ -158,6 +165,13 @@ class GraphSAGE:
             raise ValueError("self_loop and concat_self are mutually exclusive")
         if self.layer0 not in ("sampled", "full"):
             raise ValueError(f"unknown layer0 mode {self.layer0!r}")
+        if self.aggregator == "lstm" and self.layer0 == "full":
+            raise ValueError(
+                "layer0='full' supports the mean and maxpool aggregators "
+                "only: the shared-table build is a segment reduction over "
+                "the CSR edge list, and an LSTM over every node's FULL "
+                "neighbor sequence has no such scatter-free form"
+            )
         if self.final_activation not in ("relu", "linear"):
             raise ValueError(
                 f"unknown final_activation {self.final_activation!r}"
@@ -663,10 +677,28 @@ class GraphSAGE:
 
         Equivalent to the reference with ``num_sample=None`` (quirk Q7) run on
         all nodes — the basis of the numerical-parity tests and of the
-        edge-partitioned distributed mode. Supports both aggregators: mean
-        via CSR segment-mean, maxpool via per-node MLP + per-edge segment-max
-        (the SDDMM-style formulation).
+        edge-partitioned distributed mode. Supports all three aggregators:
+        mean via CSR segment-mean, maxpool via per-node MLP + per-edge
+        segment-max (the SDDMM-style formulation), lstm via a scan over the
+        ELL neighbor columns (needs ``graph.ell_covers_all`` — hub-capped
+        graphs must use sampled eval instead; the sequence order is the ELL
+        adjacency order, which is exactly what covering-fanout sampling
+        produces, so sampled == full-graph parity is exact).
         """
+        if self.aggregator == "lstm":
+            if spmm_override is not None or segmax_override is not None:
+                raise ValueError(
+                    "the edge-partitioned/halo full-graph paths support "
+                    "mean and maxpool only — an LSTM over neighbor "
+                    "sequences is not a per-edge segment reduction"
+                )
+            if not graph.ell_covers_all:
+                raise ValueError(
+                    "full-graph forward with aggregator='lstm' needs the "
+                    "ELL table to cover every neighbor (this graph is "
+                    "hub-capped); evaluate with sampled neighborhoods "
+                    "(eval_fanouts) instead"
+                )
         h = (
             dequantize(graph.features, self.compute_dtype or jnp.float32)
             if is_quantized(graph.features)
@@ -704,6 +736,32 @@ class GraphSAGE:
                     concat_self=self.concat_self,
                     self_loop=self.self_loop,
                     project_first=self.use_project_first(l, d_in),
+                    precision=self.matmul_precision,
+                    activation=self.layer_activation(l),
+                )
+                continue
+            if self.aggregator == "lstm":
+                width = graph.neighbors.shape[-1]
+                ell_mask = (
+                    jnp.arange(width, dtype=jnp.int32)[None, :]
+                    < jnp.minimum(graph.degrees, width)[:, None]
+                )
+                seq = jnp.take(h, graph.neighbors, axis=0)  # [N, K, d]
+                mask = ell_mask
+                if self.self_loop:
+                    # Parent first in the sequence — same slot the sampler
+                    # gives it (column 0 of the hop row).
+                    seq = jnp.concatenate([h[:, None, :], seq], axis=1)
+                    mask = jnp.concatenate(
+                        [jnp.ones((h.shape[0], 1), bool), mask], axis=1
+                    )
+                h = apply_sage_layer(
+                    p,
+                    h if self.concat_self else None,
+                    seq,
+                    mask,
+                    aggregator="lstm",
+                    concat_self=self.concat_self,
                     precision=self.matmul_precision,
                     activation=self.layer_activation(l),
                 )

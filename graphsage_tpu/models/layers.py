@@ -5,11 +5,22 @@ Functionally equivalent to the reference Encoder + MeanAggregator pair
 a pure function over a params pytree and static-shape tensors, so XLA fuses
 the aggregate->concat->matmul->ReLU chain into a couple of MXU/VPU ops.
 
-Two aggregators (SURVEY.md §7.1 capability contract):
+Three aggregators — the GraphSAGE paper's full family (§3.3; the reference
+ships only the mean, aggregators.py:30-65):
 
 * ``mean``     — masked neighbor mean (reference MeanAggregator).
 * ``maxpool``  — per-neighbor MLP then masked max (GraphSAGE-pool; exercises
   the SDDMM-style per-edge compute from BASELINE.json config #3).
+* ``lstm``     — an LSTM scanned over the sampled neighbor sequence, the
+  aggregate is the final hidden state. TPU-shape: ``lax.scan`` over the
+  (static, small) fanout axis, each step two batched ``[B, ·]·[·, 4H]``
+  matmuls on the MXU — no dynamic shapes, no per-node loops. Invalid slots
+  carry the state through unchanged, so padding anywhere in the row and
+  empty rows (aggregate 0, quirk Q4) are exact. The paper's random
+  neighbor *permutation* is supplied by the sampler: below-degree fanouts
+  draw a fresh random subset each step (ops/sampling.py Floyd), and at
+  covering fanouts the order is the adjacency (ELL) order — deterministic,
+  which is what makes sampled == full-graph parity exact there.
 
 Two combine modes:
 
@@ -38,9 +49,13 @@ class SAGELayerParams:
     weight: jax.Array  # [combined_in, out]
     pool_weight: Optional[jax.Array] = None  # [in, pool_dim] (maxpool only)
     pool_bias: Optional[jax.Array] = None  # [pool_dim]
+    lstm_wx: Optional[jax.Array] = None  # [in, 4*lstm_dim] (lstm only)
+    lstm_wh: Optional[jax.Array] = None  # [lstm_dim, 4*lstm_dim]
+    lstm_b: Optional[jax.Array] = None  # [4*lstm_dim] (forget bias init +1)
 
 
 def combined_input_dim(in_dim: int, pool_dim: int | None, aggregator: str, concat_self: bool) -> int:
+    # pool_dim doubles as the aggregator hidden width for maxpool AND lstm.
     agg_dim = in_dim if aggregator == "mean" else (pool_dim or in_dim)
     return agg_dim + (in_dim if concat_self else 0)
 
@@ -71,19 +86,94 @@ def init_sage_layer(
     param_dtype: jnp.dtype = jnp.float32,
 ) -> SAGELayerParams:
     """Xavier/glorot-uniform init, matching the reference's
-    ``init.xavier_uniform_`` (encoders.py:31)."""
-    if aggregator not in ("mean", "maxpool"):
+    ``init.xavier_uniform_`` (encoders.py:31). For ``lstm`` the input and
+    recurrent kernels are glorot too, with the standard +1 forget-gate bias
+    (gate order i, f, g, o)."""
+    if aggregator not in ("mean", "maxpool", "lstm"):
         raise ValueError(f"unknown aggregator {aggregator!r}")
     k_w, k_p = jax.random.split(key)
     cin = combined_input_dim(in_dim, pool_dim, aggregator, concat_self)
     glorot = jax.nn.initializers.glorot_uniform()
     weight = glorot(k_w, (cin, out_dim), param_dtype)
     pool_weight = pool_bias = None
+    lstm_wx = lstm_wh = lstm_b = None
     if aggregator == "maxpool":
         pdim = pool_dim or in_dim
         pool_weight = glorot(k_p, (in_dim, pdim), param_dtype)
         pool_bias = jnp.zeros((pdim,), param_dtype)
-    return SAGELayerParams(weight=weight, pool_weight=pool_weight, pool_bias=pool_bias)
+    elif aggregator == "lstm":
+        hdim = pool_dim or in_dim
+        k_x, k_h = jax.random.split(k_p)
+        lstm_wx = glorot(k_x, (in_dim, 4 * hdim), param_dtype)
+        lstm_wh = glorot(k_h, (hdim, 4 * hdim), param_dtype)
+        lstm_b = jnp.zeros((4 * hdim,), param_dtype).at[hdim : 2 * hdim].set(1.0)
+    return SAGELayerParams(
+        weight=weight, pool_weight=pool_weight, pool_bias=pool_bias,
+        lstm_wx=lstm_wx, lstm_wh=lstm_wh, lstm_b=lstm_b,
+    )
+
+
+def masked_lstm(
+    wx: jax.Array,  # [d_in, 4H]
+    wh: jax.Array,  # [H, 4H]
+    b: jax.Array,  # [4H]
+    neigh_feats: jax.Array,  # [..., k, d_in]
+    neigh_mask: jax.Array,  # [..., k]
+    *,
+    precision=None,
+) -> jax.Array:
+    """Final hidden state of an LSTM over each row's neighbor sequence.
+
+    ``lax.scan`` over the k (fanout) axis — k is static and small, so the
+    unrolled compute is k pairs of batched matmuls on the MXU; there is no
+    per-node control flow. Slots with ``mask == False`` carry ``(h, c)``
+    through unchanged, which makes the result independent of WHERE padding
+    sits in the row and returns exactly 0 for empty rows (quirk Q4's guard,
+    same convention as the masked mean/max). Gate math runs in f32
+    regardless of the input dtype — sigmoid/tanh recurrences saturate in
+    bf16 — and the result is cast back to the input dtype.
+    """
+    h_dim = wh.shape[0]
+    lead = neigh_feats.shape[:-2]
+    k = neigh_feats.shape[-2]
+    x = neigh_feats.reshape(-1, k, neigh_feats.shape[-1])
+    m = neigh_mask.reshape(-1, k)
+    bsz = x.shape[0]
+    # Hoist the input projection out of the scan: one [B*k, d_in] @ [d_in, 4H]
+    # MXU pass instead of k small ones (the recurrent matmul is the only
+    # genuinely sequential work).
+    xg = jnp.einsum(
+        "bki,io->bko", x, wx.astype(x.dtype),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # [B, k, 4H] f32
+    wh32 = wh.astype(jnp.float32)
+    b32 = b.astype(jnp.float32)
+
+    def step(carry, inp):
+        h, c = carry
+        gates_x, valid = inp
+        gates = (
+            gates_x
+            + jnp.einsum(
+                "bh,ho->bo", h, wh32,
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            + b32
+        )
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        keep = valid[:, None]
+        return (jnp.where(keep, h_new, h), jnp.where(keep, c_new, c)), None
+
+    init = (
+        jnp.zeros((bsz, h_dim), jnp.float32),
+        jnp.zeros((bsz, h_dim), jnp.float32),
+    )
+    (h_final, _), _ = jax.lax.scan(
+        step, init, (jnp.swapaxes(xg, 0, 1), jnp.swapaxes(m, 0, 1))
+    )
+    return h_final.reshape(*lead, h_dim).astype(neigh_feats.dtype)
 
 
 def apply_full_graph_mean_layer(
@@ -212,6 +302,11 @@ def apply_sage_layer(
         )
     elif aggregator == "mean":
         agg = masked_mean(neigh_feats, neigh_mask)
+    elif aggregator == "lstm":
+        agg = masked_lstm(
+            params.lstm_wx, params.lstm_wh, params.lstm_b,
+            neigh_feats, neigh_mask, precision=precision,
+        )
     else:  # maxpool: per-neighbor MLP, then masked max
         pw = params.pool_weight
         pb = params.pool_bias

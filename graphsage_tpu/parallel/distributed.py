@@ -126,6 +126,13 @@ def distributed_full_graph_logits(
     """Full-graph forward with every aggregation edge-partitioned over
     ``axis``. Matches :meth:`GraphSAGE.forward_full_graph` allclose
     (both aggregators — BASELINE config #3's maxpool included)."""
+    if model.aggregator == "lstm":
+        raise ValueError(
+            "edge-partitioned full-graph execution supports mean and "
+            "maxpool only — an LSTM over neighbor sequences is not a "
+            "per-edge segment reduction; train lstm models on the sampled "
+            "paths"
+        )
     if part is None:
         part = partition_edges(graph, mesh.shape[axis])
     h = graph.features

@@ -946,6 +946,14 @@ def halo_full_graph_logits(
         apply_full_graph_mean_layer,
     )
 
+    if model.aggregator == "lstm":
+        raise ValueError(
+            "halo full-graph execution supports mean and maxpool only — an "
+            "LSTM over neighbor sequences is not a per-edge segment "
+            "reduction the boundary exchange can carry; train lstm models "
+            "on the sampled paths"
+        )
+
     def shard_fn(h, ex):
         if model.compute_dtype is not None:
             h = h.astype(model.compute_dtype)

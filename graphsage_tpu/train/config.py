@@ -19,11 +19,11 @@ from typing import Optional, Sequence
 class ModelConfig:
     hidden_dims: Sequence[int] = (128, 128)
     fanouts: Sequence[Optional[int]] = (10, 10)
-    aggregator: str = "mean"  # "mean" | "maxpool"
+    aggregator: str = "mean"  # "mean" | "maxpool" | "lstm" (paper §3.3 family)
     concat_self: bool = False  # False = reference shipped mode (quirk Q2)
     # GCN-style self loops (the reference's intended-but-dead gcn branch).
     self_loop: bool = False
-    pool_dim: Optional[int] = None
+    pool_dim: Optional[int] = None  # maxpool MLP width / lstm hidden width
     compute_dtype: Optional[str] = None  # None | "bfloat16"
     # Kernel backends (see ops.aggregate): "auto" | explicit impl name.
     gather_impl: str = "auto"
@@ -156,6 +156,21 @@ PRESETS: dict[str, ExperimentConfig] = {
             batch_size=256, num_steps=150, optimizer="adam",
             learning_rate=0.01, objective="unsupervised",
             walk_length=3, num_negatives=10, log_every=10,
+        ),
+    ),
+    # LSTM aggregator on Cora (paper §3.3 family completion — neither in the
+    # reference nor in BASELINE; adam because the recurrent gates are far
+    # more step-size sensitive than the mean/pool projections).
+    "cora_lstm": ExperimentConfig(
+        name="cora_lstm",
+        dataset="cora",
+        model=ModelConfig(
+            hidden_dims=(128, 128), fanouts=(10, 10), aggregator="lstm",
+            pool_dim=128, concat_self=True,
+        ),
+        train=TrainConfig(
+            batch_size=256, num_steps=100, optimizer="adam",
+            learning_rate=0.005, eval_fanouts=(10, 10),
         ),
     ),
     # BASELINE config #3: pooling aggregator on Cora.

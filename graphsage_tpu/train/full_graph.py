@@ -63,6 +63,12 @@ class FullGraphTrainer:
         # first-layer aggregation over constants at compile time — a
         # minutes-long compile at 100K+ nodes.
         if mesh is not None:
+            if model.aggregator == "lstm":
+                raise ValueError(
+                    "FullGraphTrainer's halo mesh path supports mean and "
+                    "maxpool only (lstm aggregation is not a per-edge "
+                    "segment reduction); use the sampled trainers for lstm"
+                )
             from graphsage_tpu.parallel.halo import (
                 build_node_partition,
                 halo_full_graph_logits,
