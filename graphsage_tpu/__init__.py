@@ -43,6 +43,7 @@ from graphsage_tpu.train.experiments import run_cora, run_preset, run_pubmed
 from graphsage_tpu.train.full_graph import FullGraphTrainer
 from graphsage_tpu.train.trainer import Trainer, TrainState
 from graphsage_tpu.train.unsupervised import (
+    UnsupervisedFullyShardedTrainer,
     UnsupervisedShardedTrainer,
     UnsupervisedTrainer,
 )
@@ -68,6 +69,7 @@ __all__ = [
     "Trainer",
     "UnsupervisedTrainer",
     "UnsupervisedShardedTrainer",
+    "UnsupervisedFullyShardedTrainer",
     "FullGraphTrainer",
     "ShardedTrainer",
     "ShardedFeatureTrainer",

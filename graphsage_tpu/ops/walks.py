@@ -81,6 +81,15 @@ def positive_pairs(
     """
     walk_key, pick_key = jax.random.split(key)
     walks, valid = random_walk(walk_key, graph, seeds, walk_length)
+    return pick_positive_step(pick_key, walks, valid, seeds)
+
+
+def pick_positive_step(
+    pick_key: jax.Array, walks: jax.Array, valid: jax.Array, seeds: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Uniform choice among a walk's visited steps (shared by the
+    replicated and the distributed walk paths — identical pick math is what
+    keeps their pair semantics aligned)."""
     visited, ok = walks[..., 1:], valid[..., 1:]
     # Valid steps form a prefix (a dead walk never revives), so a uniform
     # index below the count is a uniform choice among valid steps.

@@ -1221,6 +1221,49 @@ def sharded_sample_neighbors(
     return back_ids, back_mask, ctx.violated
 
 
+def sharded_random_walk(
+    axis: str,
+    adj: ShardedAdjacency,
+    ell_local: jax.Array,  # [Np, W]
+    deg_local: jax.Array,  # [Np]
+    indptr_local: jax.Array,  # [Np + 1]
+    edge_dst_local: jax.Array,  # [E_max]
+    starts: jax.Array,  # [b] this chip's walk starts (global ids)
+    length: int,
+    key: jax.Array,
+    slack: float,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """DISTRIBUTED uniform random walks (call inside shard_map): each of
+    the ``length`` steps is one :func:`sharded_sample_neighbors` round with
+    ``fanout=1`` — current positions route to their owner shard, the owner
+    draws one neighbor from its E/S adjacency slice, the step ships back.
+    Same semantics as :func:`graphsage_tpu.ops.walks.random_walk` (sinks
+    stay put, masked from there on; exactly equal on graphs where the step
+    is deterministic, e.g. out-degree 1 — test-pinned). Returns
+    ``(walks [b, length+1], valid [b, length+1], violated)``."""
+    starts = starts.reshape(-1).astype(jnp.int32)
+    s = jax.lax.axis_size(axis)
+    cap = request_capacity(int(starts.shape[0]), s, slack)
+    keys = jax.random.split(key, max(length, 1))
+    cur = starts
+    alive = jnp.ones(starts.shape, bool)
+    steps = [starts]
+    flags = [alive]
+    violated = jnp.zeros((), bool)
+    for t in range(length):
+        nids, nmask, viol = sharded_sample_neighbors(
+            axis, adj, ell_local, deg_local, indptr_local, edge_dst_local,
+            cur, 1, keys[t], cap, valid_mask=alive,
+        )
+        violated = violated | viol
+        step_ok = alive & nmask[..., 0]
+        cur = jnp.where(step_ok, nids[..., 0], cur)
+        alive = step_ok
+        steps.append(cur)
+        flags.append(alive)
+    return jnp.stack(steps, axis=-1), jnp.stack(flags, axis=-1), violated
+
+
 def sharded_sample_frontier(
     axis: str,
     model: GraphSAGE,
@@ -1431,7 +1474,8 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
 
     # ------------------------------------------------------------------ eval
     def _eval_logits_fully_sharded(
-        self, params, feature_shards, adj_leaves, seeds, slack
+        self, params, feature_shards, adj_leaves, seeds, slack,
+        return_embeddings: bool = False,
     ):
         """Sampled eval logits with DISTRIBUTED per-hop sampling — the eval
         counterpart of ``_fully_sharded_step``. Nothing graph-sized touches
@@ -1466,6 +1510,7 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
             logits = model.forward(
                 params, shard_l, frontier,
                 gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
+                return_embeddings=return_embeddings,
                 layer0_table=(
                     table_fn(params, shard_l)
                     if table_fn is not None

@@ -141,11 +141,12 @@ def run_preset(
             from graphsage_tpu.train.unsupervised import UnsupervisedTrainer
 
             trainer = UnsupervisedTrainer(model, graph, config.train)
-        elif mode == "sharded":
+        elif mode in ("sharded", "fully-sharded"):
             import jax as _jax
 
             from graphsage_tpu.parallel.mesh import make_mesh
             from graphsage_tpu.train.unsupervised import (
+                UnsupervisedFullyShardedTrainer,
                 UnsupervisedShardedTrainer,
             )
 
@@ -155,13 +156,17 @@ def run_preset(
                     f"batch_size {config.train.batch_size} is not divisible "
                     f"by the {s} visible devices; pass --batch-size"
                 )
-            trainer = UnsupervisedShardedTrainer(
-                model, graph, config.train, make_mesh({"data": s})
+            cls = (
+                UnsupervisedShardedTrainer
+                if mode == "sharded"
+                else UnsupervisedFullyShardedTrainer
             )
+            trainer = cls(model, graph, config.train, make_mesh({"data": s}))
         else:
             raise ValueError(
-                "objective='unsupervised' supports mode='sampled' and the "
-                f"node-sharded mode='sharded' (got mode={mode!r})"
+                "objective='unsupervised' supports mode='sampled', the "
+                "node-sharded mode='sharded', and the everything-sharded "
+                f"mode='fully-sharded' (got mode={mode!r})"
             )
     elif mode == "full-graph":
         import dataclasses as _dc

@@ -8,7 +8,7 @@ its F1 on the requested nodes. Labels are touched ONLY by the probe, never by
 the training gradient (the reference has no counterpart at all — its model is
 supervised-only, reference graphsage/model.py:35-37).
 
-Two tiers:
+Three tiers:
 
 * :class:`UnsupervisedTrainer` — single chip, replicated table.
 * :class:`UnsupervisedShardedTrainer` — the node-sharded feature store
@@ -18,6 +18,11 @@ Two tiers:
   training. Groups are laid out seed-major so the batch axis shards on
   whole groups — every shard holds its pairs' u, v, and negatives locally
   and only the masked-mean reduction crosses chips (one psum).
+* :class:`UnsupervisedFullyShardedTrainer` — nothing graph-sized
+  replicated: the walks themselves distribute (each step is an owner-routed
+  ``fanout=1`` sample over the E/S-sharded adjacency), frontiers expand
+  with distributed per-hop sampling, features ride the compact gather, and
+  the linear probe fits on distributed sampled embeddings.
 """
 
 from __future__ import annotations
@@ -36,6 +41,7 @@ from graphsage_tpu.models.unsupervised import (
 )
 from graphsage_tpu.ops.walks import negative_cdf
 from graphsage_tpu.parallel.feature_store import (
+    FullyShardedTrainer as _FullyShardedTrainer,
     ShardedFeatureTrainer as _ShardedFeatureTrainer,
 )
 from graphsage_tpu.train.config import TrainConfig
@@ -300,3 +306,236 @@ class UnsupervisedShardedTrainer(_ShardedFeatureTrainer):
             self._source_graph.num_classes,
         )
         return np.asarray(preds)[nodes]
+
+
+class UnsupervisedFullyShardedTrainer(_FullyShardedTrainer):
+    """Unsupervised training with NOTHING graph-sized replicated.
+
+    The third tier: adjacency (E/S edges), feature table (N/S·F), and the
+    seed batch all shard over one mesh axis — and the graph-context
+    machinery distributes with them:
+
+    * **walks** run distributed: each of the ``walk_length`` steps is one
+      :func:`~graphsage_tpu.parallel.feature_store.sharded_random_walk`
+      round (``fanout=1`` owner routing over the sharded adjacency — the
+      same all_to_all machinery as frontier expansion);
+    * the positive pick reuses the replicated path's
+      :func:`~graphsage_tpu.ops.walks.pick_positive_step` math, keyed
+      per shard;
+    * **negatives** draw from the ``[N]`` f32 CDF, which stays replicated —
+      it is O(N) like the label vector (4 bytes/node), not graph-sized
+      (the feature table is ``4·F`` bytes/node, the adjacency ``8·E/N``);
+    * the ``(u, v, n_1..n_Q)`` groups stay local to the shard that owns
+      the seed, the frontier expands with distributed per-hop sampling,
+      features ride the compact gather, and one psum reduces the masked
+      mean.
+
+    Sampling randomness is owner-keyed (exactly like the supervised
+    :class:`~graphsage_tpu.parallel.feature_store.FullyShardedTrainer`),
+    so losses are not bit-equal to the single-chip trainer; pinned instead:
+    the distributed walk equals the replicated walk wherever the step is
+    deterministic (out-degree 1), chi-square uniformity of the owner-side
+    draw, loss finiteness/decrease, and the memory-residency assertions.
+    Eval fits the linear probe on DISTRIBUTED sampled embeddings — no
+    replicated fallback, the residency claim holds through ``predict``.
+    """
+
+    def __init__(self, model, graph, config, mesh, **kwargs):
+        _require_linear(model)
+        # Negative draws are degree^0.75-skewed BY DESIGN, so owner request
+        # buckets are much more unbalanced than supervised frontiers — the
+        # supervised default slack (1.5) overflows on real degree
+        # distributions. 4x holds comfortably on power-law graphs.
+        kwargs.setdefault("capacity_slack", 4.0)
+        super().__init__(model, graph, config, mesh, **kwargs)
+        # Degrees come from the SOURCE graph: the resident device graph's
+        # adjacency leaves are placeholders (only labels survive).
+        self.neg_cdf = jax.device_put(
+            negative_cdf(
+                np.asarray(self._source_graph.degrees), config.neg_power
+            ),
+            self._repl,
+        )
+        self._jit_eval_emb: dict = {}
+
+    # ------------------------------------------------------------------- step
+    def _block_payload(self):
+        return (*super()._block_payload(), self.neg_cdf)
+
+    def _train_block(self, state, payload, seeds_all):
+        feature_shards, adjacency_shards, neg_cdf = payload
+
+        def body(st, seeds):
+            st, loss, violated = self._fully_sharded_step(
+                st, feature_shards, adjacency_shards, seeds, neg_cdf
+            )
+            return st, (loss, violated)
+
+        state, (losses, violated) = jax.lax.scan(body, state, seeds_all)
+        return state, losses, violated
+
+    def step(self, state, seeds):
+        seeds = jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl)
+        state, loss, violated = self._jit_step(
+            state, self.feature_shards, self.adjacency_shards, seeds,
+            self.neg_cdf,
+        )
+        if bool(violated):
+            raise ValueError(
+                "distributed-sampling/gather request capacity exceeded "
+                "this step (walk, frontier, or feature-gather bucket "
+                "overflowed); increase capacity_slack"
+            )
+        return state, loss
+
+    def _fully_sharded_step(self, state, feature_shards, adj_leaves, seeds,
+                            neg_cdf):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from graphsage_tpu.models.unsupervised import context_group_scores
+        from graphsage_tpu.ops.walks import pick_positive_step, sample_from_cdf
+        from graphsage_tpu.parallel.feature_store import (
+            _lead0,
+            make_sharded_gather_fns,
+            sharded_random_walk,
+            sharded_sample_frontier,
+        )
+
+        model = self.model
+        axis = self.axis
+        adj = self.adjacency
+        q = self.cfg.num_negatives
+        wl = self.cfg.walk_length
+        next_key, step_key = jax.random.split(state.key)
+        k_walk, k_pick, k_neg, k_sample = jax.random.split(step_key, 4)
+        gather_fn, gather_mean_fn = make_sharded_gather_fns(
+            axis, mode="compact",
+            num_shards=self.mesh.shape[axis], slack=self.capacity_slack,
+        )
+
+        def shard_step(params, shard, adj_local, seeds_local, cdf):
+            shard_l = _lead0(shard)
+            al = tuple(a[0] for a in adj_local)
+            me = jax.lax.axis_index(axis)
+            seeds_l = seeds_local[0].astype(jnp.int32)
+            b = seeds_l.shape[0]
+            # Distributed walks: k_walk is shared (sharded_sample_neighbors
+            # owner-folds it); pick/negative keys fold per shard so draws
+            # decorrelate across the batch slices.
+            walks, valid, violated = sharded_random_walk(
+                axis, adj, *al, seeds_l, wl, k_walk, self.capacity_slack,
+            )
+            pos, pair_mask = pick_positive_step(
+                jax.random.fold_in(k_pick, me), walks, valid, seeds_l
+            )
+            negs = sample_from_cdf(jax.random.fold_in(k_neg, me), cdf, (b, q))
+            group_seeds = jnp.concatenate(
+                [seeds_l[:, None], pos[:, None], negs], axis=1
+            ).reshape(-1)
+            frontier, viol_f = sharded_sample_frontier(
+                axis, model, adj, adj_local, group_seeds, k_sample,
+                self.capacity_slack,
+            )
+            violated = violated | viol_f | self._local_sites_violated(frontier)
+            table_fn = self._layer0_table_fn_adj(al)
+            den = jnp.maximum(
+                jax.lax.psum(jnp.sum(pair_mask.astype(jnp.float32)), axis),
+                1.0,
+            )
+
+            def loss_fn(p):
+                z = model.forward(
+                    p, shard_l, frontier, return_embeddings=True,
+                    gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
+                    layer0_table=(
+                        table_fn(p, shard_l) if table_fn is not None else None
+                    ),
+                )
+                per_seed, kept = context_group_scores(z, pair_mask, q)
+                return jnp.sum(per_seed * kept) / den
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            loss = jax.lax.psum(loss, axis)
+            grads = jax.tree_util.tree_map(
+                lambda t: jax.lax.psum(t, axis), grads
+            )
+            violated_any = jax.lax.psum(violated.astype(jnp.int32), axis) > 0
+            return loss, grads, violated_any
+
+        loss, grads, violated = shard_map(
+            shard_step,
+            mesh=self.mesh,
+            in_specs=(
+                P(), P(self.axis), (P(self.axis),) * 4,
+                P(self.axis), P(),
+            ),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(state.params, feature_shards, adj_leaves,
+          seeds.reshape(self.mesh.shape[self.axis], -1), neg_cdf)
+
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                params=params, opt_state=opt_state, key=next_key,
+                step=state.step + 1,
+            ),
+            loss,
+            violated,
+        )
+
+    # ------------------------------------------------------------------- eval
+    def predict(self, state, nodes):
+        """Linear-probe predictions from DISTRIBUTED sampled embeddings:
+        train-split and requested nodes embed through the same per-hop
+        owner routing + compact gather as training (fixed key, retry with
+        doubled slack on overflow) — adjacency stays E/S and features
+        N/S·F per chip through eval, no replicated fallback."""
+        import functools
+        import warnings
+
+        nodes = np.asarray(nodes)
+        all_nodes = np.concatenate([np.asarray(self.train_nodes), nodes])
+        s = self.mesh.shape[self.axis]
+        pad = (-len(all_nodes)) % s
+        seeds = np.concatenate([all_nodes, np.zeros(pad, all_nodes.dtype)])
+        seeds_dev = jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl)
+        slacks = [float(self.capacity_slack) * (2.0 ** i) for i in range(4)]
+        emb = None
+        for i, slack in enumerate(slacks):
+            fn = self._jit_eval_emb.get(slack)
+            if fn is None:
+                fn = jax.jit(functools.partial(
+                    self._eval_logits_fully_sharded,
+                    slack=slack, return_embeddings=True,
+                ))
+                self._jit_eval_emb[slack] = fn
+            emb, violated = fn(
+                state.params, self.feature_shards, self.adjacency_shards,
+                seeds_dev,
+            )
+            if not bool(violated):
+                break
+            if i + 1 == len(slacks):
+                raise ValueError(
+                    "distributed eval request capacity still exceeded "
+                    f"after retries up to slack={slacks[-1]}; raise "
+                    "capacity_slack explicitly"
+                )
+            warnings.warn(
+                f"distributed eval request capacity exceeded at "
+                f"slack={slack}; retrying with slack={slacks[i + 1]}"
+            )
+        emb = emb[: len(all_nodes)]
+        emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
+        n_train = len(self.train_nodes)
+        labels = jnp.asarray(
+            np.asarray(self.graph.labels)[self.train_nodes], jnp.int32
+        )
+        preds = linear_probe_predict(
+            emb[:n_train], labels, emb[n_train:],
+            self._source_graph.num_classes,
+        )
+        return np.asarray(preds)

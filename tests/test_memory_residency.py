@@ -155,3 +155,33 @@ def test_fully_sharded_eval_fallback_never_replicates(host_graph):
     preds = tr.predict(state, np.arange(40))
     assert preds.shape == (40,)
     assert _offending_buffers(host_graph, adjacency_too=True) == []
+
+
+def test_unsupervised_fully_sharded_nothing_graph_sized(host_graph):
+    """UnsupervisedFullyShardedTrainer: the distributed-walk unsupervised
+    tier keeps the residency claim too — no full feature table and no full
+    adjacency buffer through init, training (walks + negatives + frontier
+    all inside shard_map), and the distributed-embedding linear probe."""
+    from graphsage_tpu.train.unsupervised import (
+        UnsupervisedFullyShardedTrainer,
+    )
+
+    model = GraphSAGE(in_dim=F, num_classes=7, hidden_dims=(16, 16),
+                      fanouts=(4, 4), final_activation="linear")
+    cfg = TrainConfig(batch_size=64, num_steps=2, log_every=0,
+                      objective="unsupervised", walk_length=2,
+                      num_negatives=4, optimizer="adam", learning_rate=0.01,
+                      eval_fanouts=(4, 4))
+    mesh = make_mesh({"data": 8})
+    tr = UnsupervisedFullyShardedTrainer(model, host_graph, cfg, mesh,
+                                         capacity_slack=8.0)
+    assert _offending_buffers(host_graph, adjacency_too=True) == []
+
+    state = tr.init_state()
+    it = tr.batches()
+    for _ in range(2):
+        state, loss = tr.step(state, next(it))
+    assert np.isfinite(float(loss))
+    preds = tr.predict(state, tr.val_nodes)
+    assert preds.shape == (len(tr.val_nodes),)
+    assert _offending_buffers(host_graph, adjacency_too=True) == []

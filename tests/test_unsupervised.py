@@ -323,3 +323,129 @@ def test_unsupervised_sharded_layer0_full_matches_single_chip():
         ),
         s1.params, s2.params,
     )
+
+
+# ------------------------------------------------------------ fully sharded
+def test_sharded_random_walk_matches_replicated_when_deterministic():
+    """On a perfect matching (every node degree 1) the walk step has no
+    randomness, so the DISTRIBUTED walk must equal ops.walks.random_walk
+    exactly — ids, validity, and the stay-put-after-sink carry logic."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from graphsage_tpu.ops.walks import random_walk
+    from graphsage_tpu.parallel.feature_store import (
+        shard_adjacency,
+        sharded_random_walk,
+    )
+    from graphsage_tpu.parallel.mesh import make_mesh
+
+    # 16 nodes: pairs (0,1)(2,3)...(12,13); 14 and 15 isolated (sinks).
+    edges = np.array([[2 * i, 2 * i + 1] for i in range(7)])
+    g = build_graph(np.zeros((16, 4), np.float32), np.zeros(16), edges,
+                    num_classes=1, placement="host")
+    mesh = make_mesh({"data": 8})
+    adj = shard_adjacency(g, 8)
+    starts = np.arange(16, dtype=np.int32)
+    key = jax.random.PRNGKey(3)
+
+    def walk(ell, deg, indptr, edge_dst, starts_l):
+        w, v, viol = sharded_random_walk(
+            "data", adj, ell[0], deg[0], indptr[0], edge_dst[0],
+            starts_l, 4, key, 4.0,
+        )
+        return w[None], v[None], viol[None]
+
+    w, v, viol = jax.jit(shard_map(
+        walk, mesh=mesh,
+        in_specs=((P("data"),) * 4 + (P("data"),)),
+        out_specs=(P("data"), P("data"), P("data")),
+    ))(adj.ell, adj.degrees, adj.indptr, adj.edge_dst,
+       jnp.asarray(starts).reshape(8, 2))
+    want_w, want_v = random_walk(jax.random.PRNGKey(9), g.to_device(), starts, 4)
+    assert not bool(np.asarray(viol).any())
+    np.testing.assert_array_equal(
+        np.asarray(w).reshape(16, 5), np.asarray(want_w)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(v).reshape(16, 5), np.asarray(want_v)
+    )
+
+
+def test_sharded_random_walk_first_step_uniform():
+    """Chi-square: step 1 of the distributed walk from a degree-8 star
+    center is uniform over its neighbors (exercises the per-step key split
+    THROUGH sharded_random_walk — a reused key across steps or a biased
+    owner fold would skew this)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from graphsage_tpu.parallel.feature_store import (
+        shard_adjacency,
+        sharded_random_walk,
+    )
+    from graphsage_tpu.parallel.mesh import make_mesh
+
+    edges = np.array([[0, i] for i in range(1, 9)])
+    g = build_graph(np.zeros((16, 4), np.float32), np.zeros(16), edges,
+                    num_classes=1, placement="host")
+    mesh = make_mesh({"data": 8})
+    adj = shard_adjacency(g, 8)
+
+    def walk(ell, deg, indptr, edge_dst, key):
+        starts = jnp.zeros(4, jnp.int32)  # every shard starts at the center
+        w, v, viol = sharded_random_walk(
+            "data", adj, ell[0], deg[0], indptr[0], edge_dst[0],
+            starts, 2, key[0], 8.0,
+        )
+        return w[None], v[None], viol[None]
+
+    f = jax.jit(shard_map(
+        walk, mesh=mesh,
+        in_specs=((P("data"),) * 4 + (P(),)),
+        out_specs=(P("data"), P("data"), P("data")),
+    ))
+    draws = 150
+    keys = jax.random.split(jax.random.PRNGKey(5), draws)
+    counts = np.zeros(9)
+    for d in range(draws):
+        w, v, viol = f(adj.ell, adj.degrees, adj.indptr, adj.edge_dst,
+                       jnp.broadcast_to(keys[d], (8, *keys[d].shape)))
+        assert not bool(np.asarray(viol).any())
+        w = np.asarray(w).reshape(32, 3)
+        v = np.asarray(v).reshape(32, 3)
+        assert v.all()  # center degree 8, spokes degree 1 — never dies
+        np.testing.assert_array_equal(w[:, 2], 0)  # spokes return to center
+        counts += np.bincount(w[:, 1], minlength=9)
+    samples = counts[1:]  # neighbors 1..8
+    n = samples.sum()
+    expected = n / 8.0
+    chi2 = float(((samples - expected) ** 2 / expected).sum())
+    assert chi2 < 24.32, f"chi2={chi2} (df=7, p=0.001 cutoff 24.32)"
+
+
+def test_unsupervised_fully_sharded_trains_and_probes():
+    from graphsage_tpu.parallel.mesh import make_mesh
+    from graphsage_tpu.train.unsupervised import (
+        UnsupervisedFullyShardedTrainer,
+    )
+
+    g, model = _small_setup()
+    cfg = TrainConfig(
+        batch_size=64, num_steps=16, steps_per_dispatch=4, optimizer="adam",
+        learning_rate=0.01, objective="unsupervised", walk_length=3,
+        num_negatives=6, test_size=40, val_size=40, log_every=0,
+        eval_fanouts=(5, 5),
+    )
+    trainer = UnsupervisedFullyShardedTrainer(
+        model, g.to_host(), cfg, make_mesh({"data": 8}), capacity_slack=8.0
+    )
+    result = trainer.run(log=None)
+    losses = np.asarray(result["losses"])
+    assert losses.shape == (16,)
+    assert np.isfinite(losses).all()
+    # The graph-context objective must actually descend.
+    assert losses[-4:].mean() < losses[:4].mean()
+    assert np.isfinite(result["val_micro_f1"])
+    stats = trainer.memory_stats()
+    assert stats["adjacency_bytes_per_chip"] > 0
