@@ -206,3 +206,53 @@ def test_lstm_rejects_halo_full_graph_trainer(tiny_graph):
     with pytest.raises(ValueError, match="sampled trainers"):
         FullGraphTrainer(model, tiny_graph, TrainConfig(test_size=2, val_size=2),
                          mesh=make_mesh({"graph": 8}))
+
+
+def test_masked_lstm_matches_torch_lstmcell():
+    """Cross-framework oracle: torch.nn.LSTMCell shares the i,f,g,o gate
+    order; our [in, 4H] kernels are its [4H, in] transposed, our single
+    bias is its b_ih + b_hh. Full-length sequences (torch has no mask)."""
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.default_rng(7)
+    B, k, d, H = 5, 6, 8, 4
+    cell = torch.nn.LSTMCell(d, H)
+    seq = rng.normal(size=(B, k, d)).astype(np.float32)
+    with torch.no_grad():
+        h = torch.zeros(B, H)
+        c = torch.zeros(B, H)
+        for t in range(k):
+            h, c = cell(torch.from_numpy(seq[:, t]), (h, c))
+    want = h.numpy()
+    wx = cell.weight_ih.detach().numpy().T  # [d, 4H]
+    wh = cell.weight_hh.detach().numpy().T  # [H, 4H]
+    b = (cell.bias_ih + cell.bias_hh).detach().numpy()
+    got = np.asarray(
+        masked_lstm(
+            jnp.asarray(wx), jnp.asarray(wh), jnp.asarray(b),
+            jnp.asarray(seq), jnp.ones((B, k), bool), precision="highest",
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_lstm_checkpoint_round_trip(tmp_path):
+    """The optional lstm leaves survive the npz save/restore (None fields
+    must stay None, arrays must come back exact)."""
+    from graphsage_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    model = GraphSAGE(in_dim=6, num_classes=3, hidden_dims=(4, 4),
+                      fanouts=(3, 3), aggregator="lstm", pool_dim=4)
+    params = model.init(jax.random.PRNGKey(0))
+    path = save_checkpoint(tmp_path / "lstm.npz", params)
+    template = model.init(jax.random.PRNGKey(1))
+    restored = restore_checkpoint(path, template)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, restored,
+    )
+    assert restored.layers[0].pool_weight is None
+    assert restored.layers[0].lstm_wx is not None

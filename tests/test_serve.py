@@ -264,3 +264,39 @@ def test_guards(graph, trained):
     eng = ServingEngine(model, graph, st.params, batch_buckets=(8,))
     with pytest.raises(ValueError, match="empty"):
         eng.predict(np.zeros(0, np.int32))
+
+
+def test_lstm_table_mode_and_unsupervised_embed_surface(graph):
+    """Round-3 families through serving: an LSTM model's table refresh runs
+    the ELL-scan full-graph forward (parity vs embed_full_graph + head),
+    and an unsupervised (linear last layer) model's embed() is the
+    embedding-serving surface — rows match embed_full_graph exactly."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    lstm_model = GraphSAGE(
+        in_dim=graph.num_features, num_classes=graph.num_classes,
+        hidden_dims=(16, 16), fanouts=(5, 5), aggregator="lstm", pool_dim=16,
+        matmul_precision="highest",
+    )
+    params = lstm_model.init(jax.random.PRNGKey(4))
+    eng = ServingEngine(lstm_model, graph, params, mode="table",
+                        batch_buckets=(64,))
+    nodes = np.arange(64)
+    want = np.asarray(lstm_model.embed_full_graph(params, graph))[nodes]
+    np.testing.assert_allclose(eng.embed(nodes), want, rtol=1e-5, atol=1e-6)
+    logits_want = want @ np.asarray(params.head)
+    np.testing.assert_allclose(eng.logits(nodes), logits_want,
+                               rtol=1e-4, atol=1e-5)
+
+    unsup_model = dataclasses.replace(lstm_model, aggregator="mean",
+                                      pool_dim=None,
+                                      final_activation="linear")
+    u_params = unsup_model.init(jax.random.PRNGKey(5))
+    u_eng = ServingEngine(unsup_model, graph, u_params, mode="table",
+                          batch_buckets=(64,))
+    u_want = np.asarray(unsup_model.embed_full_graph(u_params, graph))[nodes]
+    assert (u_want < 0).any()  # the linear last layer really is linear
+    np.testing.assert_allclose(u_eng.embed(nodes), u_want,
+                               rtol=1e-5, atol=1e-6)
