@@ -32,7 +32,7 @@ import time
 import numpy as np
 
 
-def _measure(graph, model, batch, steps_per_block, blocks):
+def _measure(graph, model, batch, steps_per_block, blocks, **cfg_kwargs):
     import jax
     import jax.numpy as jnp
 
@@ -40,7 +40,8 @@ def _measure(graph, model, batch, steps_per_block, blocks):
     from graphsage_tpu.train.trainer import Trainer
 
     trainer = Trainer(
-        model, graph, TrainConfig(batch_size=batch, num_steps=1, log_every=0)
+        model, graph,
+        TrainConfig(batch_size=batch, num_steps=1, log_every=0, **cfg_kwargs),
     )
     state = trainer.init_state()
     frontier = model.sample(jax.random.PRNGKey(0), graph, jnp.zeros(batch, jnp.int32))
@@ -383,6 +384,19 @@ def main() -> None:
         pubmed_l0["edges_per_step"] / pubmed_l0["sec_per_step"]
     )
 
+    # LSTM aggregator on the Cora shape (the paper's third aggregator —
+    # models/layers.masked_lstm): k sequential [B,H]x[H,4H] recurrent
+    # matmuls per layer, input projection hoisted to one MXU pass. Adam —
+    # the reference's SGD 0.7 diverges the recurrent gates.
+    cora_lstm = _measure(
+        synthetic_cora_graph(2708, 1433, 5429, 7, seed=0),
+        GraphSAGE(in_dim=1433, num_classes=7, hidden_dims=(128, 128),
+                  fanouts=(10, 10), aggregator="lstm", pool_dim=128,
+                  concat_self=True),
+        batch=256, steps_per_block=200, blocks=2,
+        optimizer="adam", learning_rate=0.005,
+    )
+
     import dataclasses as _dc
 
     _reddit_nopf = _dc.replace(reddit_model, project_first=False)
@@ -404,6 +418,8 @@ def main() -> None:
         "powerlaw_1m_int8_table": 0.8,
         "fullbatch_powerlaw_100k_2m_slots_2layer": 0.8,     # ln(16)=2.77
         "pubmed_layer0_full": 0.2,
+        "cora_lstm": 0.5,            # ln(7)=1.95; CPU measured 1e-5 by
+                                     # step 150 (adam lr 0.005)
     }
     rows = {
         "cora": cora,
@@ -415,6 +431,7 @@ def main() -> None:
         "powerlaw_1m_int8_table": powerlaw_1m_q,
         "fullbatch_powerlaw_100k_2m_slots_2layer": fullbatch,
         "pubmed_layer0_full": pubmed_l0,
+        "cora_lstm": cora_lstm,
         "cora_sharded_feature_dense_1chip": sharded_rows["dense"],
         "cora_sharded_feature_compact_1chip": sharded_rows["compact"],
         "cora_fully_sharded_1chip": sharded_rows["fully"],

@@ -70,8 +70,17 @@ def context_group_scores(
     positive near init and the cheapest descent is z -> 0 (loss pins at
     (1+Q)*log 2 and the encoder dies — observed). On the unit sphere the
     zero fixed point does not exist and the loss can only move directions.
+
+    The normalization is NaN-safe at exactly-zero rows: an isolated node
+    drawn as a seed/positive/negative embeds to exactly 0 (empty
+    neighborhoods aggregate to 0, quirk Q4), and the vjp of
+    ``jnp.linalg.norm`` at 0 is 0/0 — the pair mask zeroes the loss term
+    but NOT the NaN inside the norm's backward, so one isolated seed would
+    poison every parameter through adam. Guarding the squared norm keeps
+    the gradient exactly 0 through the dead branch (test-pinned).
     """
-    z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
+    sq = jnp.sum(z * z, axis=-1, keepdims=True)
+    z = z * jax.lax.rsqrt(jnp.where(sq == 0.0, 1.0, sq))
     z3 = z.reshape(-1, 2 + num_negatives, z.shape[-1])
     zu, zv, zn = z3[:, 0], z3[:, 1], z3[:, 2:]
     pos_score = jnp.sum(zu * zv, axis=-1)

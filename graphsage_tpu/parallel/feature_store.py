@@ -953,11 +953,14 @@ class ShardedFeatureTrainer(Trainer):
 
     # ------------------------------------------------------------------ eval
     def _eval_logits_sharded(self, params, feature_shards, graph,
-                             edge_leaves, seeds, mode=None):
+                             edge_leaves, seeds, mode=None,
+                             return_embeddings: bool = False):
         """Sampled eval logits through the node-sharded gather (same
         machinery as the training step, fixed key — the reference's
         sampled-eval observable without replicating the table). ``mode``
-        overrides the trainer's gather mode (the dense fallback path)."""
+        overrides the trainer's gather mode (the dense fallback path);
+        ``return_embeddings`` yields the pre-head rows instead (the
+        unsupervised probe's input)."""
         import dataclasses as _dc
 
         mode = mode or self.gather_mode
@@ -987,6 +990,7 @@ class ShardedFeatureTrainer(Trainer):
             logits = model.forward(
                 params, shard_l, local,
                 gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
+                return_embeddings=return_embeddings,
                 layer0_table=(
                     table_fn(params, shard_l)
                     if table_fn is not None
@@ -1533,34 +1537,30 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
         )(params, feature_shards, adj_leaves,
           seeds.reshape(self.mesh.shape[self.axis], -1))
 
-    def predict(self, state, nodes):
-        """Distributed sampled eval (fanouts = ``eval_fanouts`` or the
-        model's): adjacency stays E/S and features N/S*F per chip through
-        eval too — there is deliberately no replicated fallback here. A
-        capacity overflow retries with doubled slack (a recompile, not a
-        silent clip); covering fanouts reproduce the replicated trainer's
-        deterministic eval exactly (test-pinned)."""
+    def _eval_with_slack_retries(self, params, seeds, *,
+                                 return_embeddings: bool = False):
+        """Distributed eval over padded ``seeds`` with the capacity-overflow
+        policy: retry with doubled slack (a recompile, not a silent clip),
+        up to 8x. Shared by the supervised and unsupervised fully-sharded
+        predicts; jitted variants cache per (slack, return_embeddings)."""
         import warnings
 
-        nodes = np.asarray(nodes)
-        s = self.mesh.shape[self.axis]
-        pad = (-len(nodes)) % s
-        seeds = np.concatenate([nodes, np.zeros(pad, nodes.dtype)])
         seeds_dev = jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl)
         slacks = [float(self.capacity_slack) * (2.0 ** i) for i in range(4)]
         for i, slack in enumerate(slacks):
-            fn = self._jit_eval_fs.get(slack)
+            cache_key = (slack, return_embeddings)
+            fn = self._jit_eval_fs.get(cache_key)
             if fn is None:
-                fn = jax.jit(
-                    functools.partial(self._eval_logits_fully_sharded, slack=slack)
-                )
-                self._jit_eval_fs[slack] = fn
-            logits, violated = fn(
-                state.params, self.feature_shards, self.adjacency_shards,
-                seeds_dev,
+                fn = jax.jit(functools.partial(
+                    self._eval_logits_fully_sharded, slack=slack,
+                    return_embeddings=return_embeddings,
+                ))
+                self._jit_eval_fs[cache_key] = fn
+            out, violated = fn(
+                params, self.feature_shards, self.adjacency_shards, seeds_dev
             )
             if not bool(violated):
-                return np.asarray(jnp.argmax(logits, axis=-1))[: len(nodes)]
+                return out
             if i + 1 < len(slacks):
                 warnings.warn(
                     "distributed eval request capacity exceeded at "
@@ -1572,6 +1572,20 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
             f"retries up to slack={slacks[-1]} — the seed set's requests "
             "are extraordinarily skewed; raise capacity_slack explicitly"
         )
+
+    def predict(self, state, nodes):
+        """Distributed sampled eval (fanouts = ``eval_fanouts`` or the
+        model's): adjacency stays E/S and features N/S*F per chip through
+        eval too — there is deliberately no replicated fallback here. A
+        capacity overflow retries with doubled slack (a recompile, not a
+        silent clip); covering fanouts reproduce the replicated trainer's
+        deterministic eval exactly (test-pinned)."""
+        nodes = np.asarray(nodes)
+        s = self.mesh.shape[self.axis]
+        pad = (-len(nodes)) % s
+        seeds = np.concatenate([nodes, np.zeros(pad, nodes.dtype)])
+        logits = self._eval_with_slack_retries(state.params, seeds)
+        return np.asarray(jnp.argmax(logits, axis=-1))[: len(nodes)]
 
     def memory_stats(self) -> dict:
         return {**super().memory_stats(), **self.adjacency.memory_stats()}

@@ -77,6 +77,22 @@ class TrainConfig:
     num_negatives: int = 10  # Q negatives per seed (unsupervised only)
     neg_power: float = 0.75  # degree smoothing for the negative table
 
+    def __post_init__(self):
+        if self.objective not in ("supervised", "unsupervised"):
+            # A typo here would otherwise silently train SUPERVISED (labels
+            # in the gradient of a run the user believes is label-free).
+            raise ValueError(
+                f"unknown objective {self.objective!r} — expected "
+                "'supervised' or 'unsupervised'"
+            )
+        if self.objective == "unsupervised":
+            if self.walk_length < 1:
+                # walk_length=0 masks every positive pair: the loss pins at
+                # a gradient-free 0.0 and the run silently trains nothing.
+                raise ValueError("unsupervised training needs walk_length >= 1")
+            if self.num_negatives < 1:
+                raise ValueError("unsupervised training needs num_negatives >= 1")
+
 
 @dataclasses.dataclass(frozen=True)
 class ExperimentConfig:

@@ -101,23 +101,52 @@ class UnsupervisedTrainer(Trainer):
 
     # ------------------------------------------------------------------- eval
     def predict(self, state: TrainState, nodes: np.ndarray) -> np.ndarray:
-        """Linear-probe predictions on frozen deterministic embeddings.
+        """Linear-probe predictions on frozen embeddings.
 
         The probe is fit on the train split every call (it is a few hundred
-        microsecond-scale full-batch iterations, jit-cached); embeddings come
-        from the full-graph forward so eval is deterministic.
+        microsecond-scale full-batch iterations, jit-cached). Embeddings
+        come from the deterministic full-graph forward by default, or the
+        fixed-key SAMPLED forward when ``cfg.eval_fanouts`` is set (same
+        contract as the supervised :meth:`Trainer.predict` — required for
+        e.g. hub-capped-ELL lstm models where full-graph is unavailable).
         """
         nodes = np.asarray(nodes)
-        emb = self._jit_embed_full(state.params, self.graph)
-        # Same unit sphere the loss optimizes on (Algorithm 1 line 7).
-        emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
+        if self.cfg.eval_fanouts is None:
+            emb = self._jit_embed_full(state.params, self.graph)
+            # Same unit sphere the loss optimizes on (Algorithm 1 line 7).
+            emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
+            train_emb, eval_emb = (
+                emb[jnp.asarray(self.train_nodes, jnp.int32)],
+                emb[jnp.asarray(nodes, jnp.int32)],
+            )
+        else:
+            if getattr(self, "_jit_probe_emb", None) is None:
+                import dataclasses as _dc
+
+                emodel = _dc.replace(
+                    self.model, fanouts=tuple(self.cfg.eval_fanouts)
+                )
+                self._jit_probe_emb = jax.jit(
+                    lambda p, key, graph, seeds: emodel.forward(
+                        p, graph.features, emodel.sample(key, graph, seeds),
+                        return_embeddings=True, graph=graph,
+                    )
+                )
+            all_nodes = np.concatenate([np.asarray(self.train_nodes), nodes])
+            emb = self._jit_probe_emb(
+                state.params, jax.random.PRNGKey(self.cfg.seed + 7),
+                self.graph, jnp.asarray(all_nodes, jnp.int32),
+            )
+            emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
+            n_train = len(self.train_nodes)
+            train_emb, eval_emb = emb[:n_train], emb[n_train:]
         preds = linear_probe_predict(
-            emb[jnp.asarray(self.train_nodes, jnp.int32)],
+            train_emb,
             jnp.asarray(np.asarray(self.graph.labels)[self.train_nodes], jnp.int32),
-            emb,
+            eval_emb,
             self.graph.num_classes,
         )
-        return np.asarray(preds)[nodes]
+        return np.asarray(preds)
 
 
 def _require_linear(model: GraphSAGE) -> None:
@@ -283,12 +312,64 @@ class UnsupervisedShardedTrainer(_ShardedFeatureTrainer):
 
     # ------------------------------------------------------------------- eval
     def predict(self, state, nodes):
-        """Linear-probe predictions (the paper's protocol), embeddings from
-        the deterministic full-graph forward on a TRANSIENT device copy of
-        the source graph — the same documented trade as the supervised
-        sharded trainer's ``eval_fanouts=None`` path (probe fitting needs
-        train-split embeddings, which is inherently a full-graph pass)."""
+        """Linear-probe predictions (the paper's protocol).
+
+        With ``cfg.eval_fanouts`` set, embeddings come from the fixed-key
+        sampled forward THROUGH the node-sharded gather (per-chip feature
+        memory stays ``N/S·F`` through eval; compact overflow falls back to
+        the dense exchange, same policy as the supervised predict).
+        Otherwise: the deterministic full-graph forward on a TRANSIENT
+        device copy of the source graph — the same documented trade as the
+        supervised sharded trainer's ``eval_fanouts=None`` path (probe
+        fitting needs train-split embeddings, which is inherently a
+        full-graph pass)."""
         nodes = np.asarray(nodes)
+        if self.cfg.eval_fanouts is not None:
+            import functools as _ft
+            import warnings
+
+            all_nodes = np.concatenate([np.asarray(self.train_nodes), nodes])
+            s = self.mesh.shape[self.axis]
+            pad = (-len(all_nodes)) % s
+            seeds = np.concatenate([all_nodes, np.zeros(pad, all_nodes.dtype)])
+            seeds_dev = jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl)
+            if getattr(self, "_jit_probe_emb", None) is None:
+                self._jit_probe_emb = jax.jit(_ft.partial(
+                    self._eval_logits_sharded, return_embeddings=True,
+                ))
+                self._jit_probe_emb_dense = None
+            emb, violated = self._jit_probe_emb(
+                state.params, self.feature_shards, self._graph_nofeat,
+                self.edge_slice_leaves, seeds_dev,
+            )
+            if bool(violated):
+                warnings.warn(
+                    "compact sharded-gather capacity exceeded during probe "
+                    "eval; falling back to the dense exchange for this "
+                    "batch — increase capacity_slack to stay compact"
+                )
+                if self._jit_probe_emb_dense is None:
+                    self._jit_probe_emb_dense = jax.jit(_ft.partial(
+                        self._eval_logits_sharded, mode="dense",
+                        return_embeddings=True,
+                    ))
+                emb, _ = self._jit_probe_emb_dense(
+                    state.params, self.feature_shards, self._graph_nofeat,
+                    self.edge_slice_leaves, seeds_dev,
+                )
+            emb = emb[: len(all_nodes)]
+            emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
+            n_train = len(self.train_nodes)
+            preds = linear_probe_predict(
+                emb[:n_train],
+                jnp.asarray(
+                    np.asarray(self._source_graph.labels)[self.train_nodes],
+                    jnp.int32,
+                ),
+                emb[n_train:],
+                self._source_graph.num_classes,
+            )
+            return np.asarray(preds)
         g = (
             self._source_graph.to_device()
             if self._source_graph.on_host
@@ -356,7 +437,6 @@ class UnsupervisedFullyShardedTrainer(_FullyShardedTrainer):
             ),
             self._repl,
         )
-        self._jit_eval_emb: dict = {}
 
     # ------------------------------------------------------------------- step
     def _block_payload(self):
@@ -490,44 +570,17 @@ class UnsupervisedFullyShardedTrainer(_FullyShardedTrainer):
     def predict(self, state, nodes):
         """Linear-probe predictions from DISTRIBUTED sampled embeddings:
         train-split and requested nodes embed through the same per-hop
-        owner routing + compact gather as training (fixed key, retry with
-        doubled slack on overflow) — adjacency stays E/S and features
-        N/S·F per chip through eval, no replicated fallback."""
-        import functools
-        import warnings
-
+        owner routing + compact gather as training (fixed key; the shared
+        doubled-slack retry policy on overflow) — adjacency stays E/S and
+        features N/S·F per chip through eval, no replicated fallback."""
         nodes = np.asarray(nodes)
         all_nodes = np.concatenate([np.asarray(self.train_nodes), nodes])
         s = self.mesh.shape[self.axis]
         pad = (-len(all_nodes)) % s
         seeds = np.concatenate([all_nodes, np.zeros(pad, all_nodes.dtype)])
-        seeds_dev = jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl)
-        slacks = [float(self.capacity_slack) * (2.0 ** i) for i in range(4)]
-        emb = None
-        for i, slack in enumerate(slacks):
-            fn = self._jit_eval_emb.get(slack)
-            if fn is None:
-                fn = jax.jit(functools.partial(
-                    self._eval_logits_fully_sharded,
-                    slack=slack, return_embeddings=True,
-                ))
-                self._jit_eval_emb[slack] = fn
-            emb, violated = fn(
-                state.params, self.feature_shards, self.adjacency_shards,
-                seeds_dev,
-            )
-            if not bool(violated):
-                break
-            if i + 1 == len(slacks):
-                raise ValueError(
-                    "distributed eval request capacity still exceeded "
-                    f"after retries up to slack={slacks[-1]}; raise "
-                    "capacity_slack explicitly"
-                )
-            warnings.warn(
-                f"distributed eval request capacity exceeded at "
-                f"slack={slack}; retrying with slack={slacks[i + 1]}"
-            )
+        emb = self._eval_with_slack_retries(
+            state.params, seeds, return_embeddings=True
+        )
         emb = emb[: len(all_nodes)]
         emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
         n_train = len(self.train_nodes)

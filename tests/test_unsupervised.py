@@ -449,3 +449,72 @@ def test_unsupervised_fully_sharded_trains_and_probes():
     assert np.isfinite(result["val_micro_f1"])
     stats = trainer.memory_stats()
     assert stats["adjacency_bytes_per_chip"] > 0
+
+
+# ------------------------------------------------------- review regressions
+def test_isolated_seed_gradients_finite(tiny_graph):
+    """An isolated node drawn as a seed embeds to exactly 0; the vjp of a
+    plain L2 norm at 0 is 0/0, and the pair mask zeroes the loss term but
+    NOT the NaN inside the norm's backward — one isolated seed would poison
+    every parameter through adam. The guarded normalization keeps the dead
+    branch's gradient exactly 0."""
+    g = tiny_graph  # node 5 is isolated
+    model = GraphSAGE(in_dim=g.num_features, num_classes=g.num_classes,
+                      hidden_dims=(8, 8), fanouts=(4, 4),
+                      final_activation="linear")
+    params = model.init(jax.random.PRNGKey(0))
+    cdf = jnp.asarray(negative_cdf(np.asarray(g.degrees)))
+    seeds = jnp.asarray([0, 1, 5, 2], jnp.int32)  # isolated node included
+    loss, grads = jax.value_and_grad(
+        lambda p: unsupervised_loss(
+            model, p, g, jax.random.PRNGKey(1), seeds, cdf,
+            walk_length=3, num_negatives=4,
+        )
+    )(params)
+    assert np.isfinite(float(loss))
+    assert all(
+        np.isfinite(np.asarray(leaf)).all()
+        for leaf in jax.tree_util.tree_leaves(grads)
+    ), "NaN gradient from an isolated seed (zero-row normalization)"
+
+
+def test_predict_honors_eval_fanouts():
+    """cfg.eval_fanouts must route the probe through the SAMPLED forward —
+    pinned with an lstm model on a hub-capped graph, where the full-graph
+    forward is unavailable and ignoring the knob would crash eval."""
+    import dataclasses
+
+    g, model = _small_setup()
+    model = dataclasses.replace(model, aggregator="lstm", pool_dim=32)
+    capped = dataclasses.replace(g, ell_covers_all=False)
+    cfg = TrainConfig(
+        batch_size=32, num_steps=2, optimizer="adam", learning_rate=0.01,
+        objective="unsupervised", walk_length=2, num_negatives=4,
+        test_size=40, val_size=40, log_every=0, eval_fanouts=(5, 5),
+    )
+    tr = UnsupervisedTrainer(model, capped, cfg)
+    st = tr.init_state()
+    st, _ = tr.step(st, next(tr.batches()))
+    preds = tr.predict(st, tr.val_nodes)
+    assert preds.shape == (len(tr.val_nodes),)
+
+    # Node-sharded tier: eval_fanouts keeps the probe on the sharded
+    # gather (no transient full-table device copy required).
+    from graphsage_tpu.parallel.mesh import make_mesh
+    from graphsage_tpu.train.unsupervised import UnsupervisedShardedTrainer
+
+    mean_model = dataclasses.replace(model, aggregator="mean", pool_dim=None)
+    tr2 = UnsupervisedShardedTrainer(mean_model, g, cfg, make_mesh({"data": 8}))
+    st2 = tr2.init_state()
+    st2, _ = tr2.step(st2, next(tr2.batches()))
+    preds2 = tr2.predict(st2, tr2.val_nodes)
+    assert preds2.shape == (len(tr2.val_nodes),)
+
+
+def test_config_rejects_bad_objective_and_walk_length():
+    with pytest.raises(ValueError, match="objective"):
+        TrainConfig(objective="unsupervized")  # typo must not train supervised
+    with pytest.raises(ValueError, match="walk_length"):
+        TrainConfig(objective="unsupervised", walk_length=0)
+    with pytest.raises(ValueError, match="num_negatives"):
+        TrainConfig(objective="unsupervised", num_negatives=0)
