@@ -151,6 +151,32 @@ WORKER = textwrap.dedent(
     want_rows = np.asarray(dequantize(qt))[ids16.reshape(-1)]
     assert np.allclose(rows_all, want_rows, atol=1e-6), (rows_all, want_rows)
 
+    # --- unsupervised graph-context loss across the process mesh --------
+    # Walks, negatives, and the masked-mean reduction (global denominator)
+    # under GSPMD auto-partitioning with the seed batch sharded over both
+    # processes: must equal the local single-device value exactly.
+    import dataclasses
+    from graphsage_tpu.models.unsupervised import unsupervised_loss
+    from graphsage_tpu.ops.walks import negative_cdf
+
+    umodel = dataclasses.replace(model, final_activation="linear")
+    uparams = umodel.init(jax.random.PRNGKey(2))
+    cdf = jnp.asarray(negative_cdf(np.asarray(g.degrees)))
+
+    def uloss_fn(params, graph, seeds, key, cdf):
+        return unsupervised_loss(
+            umodel, params, graph, key, seeds, cdf,
+            walk_length=2, num_negatives=3,
+        )
+
+    u_local = float(jax.jit(uloss_fn)(uparams, g, seeds_np, key, cdf))
+    u_dist = jax.jit(uloss_fn)(
+        globalize(uparams, repl), g_glob, seeds_glob, k_glob,
+        globalize(cdf, repl),
+    )
+    u_dist = float(np.asarray(jax.device_get(u_dist)))
+    assert abs(u_dist - u_local) < 1e-5, (u_dist, u_local)
+
     # --- a FULL training step (grads + SGD) across the process mesh ----
     import optax
     tx = optax.sgd(0.5)
