@@ -23,12 +23,18 @@ from graphsage_tpu.data.graph import (
     relabel_graph,
 )
 from graphsage_tpu.ops.quantize import QuantizedTable, dequantize, quantize_features
-from graphsage_tpu.data.loaders import load_cora, load_pubmed
+from graphsage_tpu.data.loaders import (
+    load_cora,
+    load_cora_lazy,
+    load_pubmed,
+    load_pubmed_lazy,
+)
 from graphsage_tpu.models.graphsage import GraphSAGE, SAGEParams
 from graphsage_tpu.parallel.distributed import ShardedTrainer
 from graphsage_tpu.parallel.feature_store import (
     FullyShardedTrainer,
     ShardedFeatureTrainer,
+    shard_features_from_loader,
     sharded_comm_stats,
 )
 from graphsage_tpu.parallel.halo import (
@@ -61,6 +67,9 @@ __all__ = [
     "locality_relabel",
     "load_cora",
     "load_pubmed",
+    "load_cora_lazy",
+    "load_pubmed_lazy",
+    "shard_features_from_loader",
     "GraphSAGE",
     "SAGEParams",
     "ExperimentConfig",

@@ -169,3 +169,144 @@ def load_pubmed(
         raw.features, raw.labels, raw.edges, num_classes=raw.num_classes,
         undirected=True, **build_kwargs,
     )
+
+
+def _lazy_graph(num_nodes, num_feats, labels, edges, num_classes,
+                **build_kwargs):
+    """Host graph whose feature leaf is a ZERO-STRIDED view — shape/dtype
+    descriptor at O(F) bytes, never a real table. Consumers must go through
+    the row loader (the sharded trainers' ``feature_store=`` path guards
+    the full-graph fallbacks against reading it)."""
+    build_kwargs.setdefault("placement", "host")
+    if build_kwargs["placement"] != "host":
+        raise ValueError("lazy loading requires placement='host'")
+    features = np.broadcast_to(
+        np.zeros((1, num_feats), np.float32), (num_nodes, num_feats)
+    )
+    return build_graph(
+        features, labels, edges, num_classes=num_classes, undirected=True,
+        **build_kwargs,
+    )
+
+
+def load_cora_lazy(
+    root: str | os.PathLike = "cora", **build_kwargs
+) -> tuple[Graph, object]:
+    """Cora with ON-DEMAND feature rows: ``(graph, row_loader)``.
+
+    The parse records each content line's byte offset instead of its
+    feature columns; adjacency, labels, and the Q14 label map come out
+    identical to :func:`load_cora` (test-pinned), but no ``[N, F]`` array
+    is ever built — the graph's feature leaf is a zero-strided descriptor.
+    ``row_loader(lo, hi)`` re-reads exactly those lines. Feed both to
+    :func:`~graphsage_tpu.parallel.feature_store.shard_features_from_loader`
+    + the sharded trainers' ``feature_store=`` argument: on an M-process
+    pod each host then parses only its own ``N/M`` feature rows (peak host
+    RAM ``N·F/M`` instead of the eager path's ``2·N·F``).
+    """
+    root = os.fspath(root)
+    content_path = os.path.join(root, "cora.content")
+    cites_path = os.path.join(root, "cora.cites")
+
+    node_ids: list[str] = []
+    label_names: list[str] = []
+    offsets: list[int] = []
+    num_feats = None
+    with open(content_path, "rb") as f:
+        off = f.tell()
+        for line in iter(f.readline, b""):
+            fields = line.split()
+            if fields:
+                node_ids.append(fields[0].decode())
+                label_names.append(fields[-1].decode())
+                offsets.append(off)
+                if num_feats is None:
+                    num_feats = len(fields) - 2
+            off = f.tell()
+    label_map: dict[str, int] = {}
+    labels = np.empty(len(label_names), dtype=np.int32)
+    for i, name in enumerate(label_names):  # Q14: ids by first appearance
+        labels[i] = label_map.setdefault(name, len(label_map))
+    node_map = {nid: i for i, nid in enumerate(node_ids)}
+    edge_list: list[tuple[int, int]] = []
+    with open(cites_path) as f:
+        for line in f:
+            fields = line.split()
+            if len(fields) >= 2:
+                edge_list.append((node_map[fields[0]], node_map[fields[1]]))
+    edges = np.array(edge_list, dtype=np.int64).reshape(-1, 2)
+    offsets_arr = np.asarray(offsets, np.int64)
+
+    def row_loader(lo: int, hi: int) -> np.ndarray:
+        out = np.empty((hi - lo, num_feats), np.float32)
+        with open(content_path, "rb") as f:
+            for j, off in enumerate(offsets_arr[lo:hi]):
+                f.seek(int(off))
+                fields = f.readline().split()
+                out[j] = np.array(fields[1:-1], dtype=np.float32)
+        return out
+
+    graph = _lazy_graph(
+        len(node_ids), num_feats, labels, edges, len(label_map),
+        **build_kwargs,
+    )
+    return graph, row_loader
+
+
+def load_pubmed_lazy(
+    root: str | os.PathLike = "pubmed-data", **build_kwargs
+) -> tuple[Graph, object]:
+    """Pubmed with ON-DEMAND feature rows — same contract as
+    :func:`load_cora_lazy`, with the Q15 quirks (header word map shifted by
+    1, ``label=<n>``−1, summary field skipped) applied per row at load
+    time."""
+    root = os.fspath(root)
+    node_path = os.path.join(root, "Pubmed-Diabetes.NODE.paper.tab")
+    cite_path = os.path.join(root, "Pubmed-Diabetes.DIRECTED.cites.tab")
+
+    offsets: list[int] = []
+    labels_list: list[int] = []
+    node_map: dict[str, int] = {}
+    with open(node_path, "rb") as f:
+        f.readline()  # banner
+        header = f.readline().decode().rstrip("\n").split("\t")
+        feat_col = {e.split(":")[1]: j - 1 for j, e in enumerate(header)}
+        off = f.tell()
+        for line in iter(f.readline, b""):
+            if line.strip():
+                fields = line.decode().split("\t")
+                node_map[fields[0]] = len(offsets)
+                labels_list.append(int(fields[1].split("=")[1]) - 1)
+                offsets.append(off)
+            off = f.tell()
+    num_feats = len(feat_col) - 1  # minus the label pseudo-entry
+    labels = np.asarray(labels_list, np.int32)
+
+    edge_list: list[tuple[int, int]] = []
+    with open(cite_path) as f:
+        f.readline()
+        f.readline()
+        for line in f:
+            fields = line.strip().split("\t")
+            if len(fields) >= 2:
+                edge_list.append((node_map[fields[1].split(":")[1]],
+                                  node_map[fields[-1].split(":")[1]]))
+    edges = np.array(edge_list, dtype=np.int64).reshape(-1, 2)
+    offsets_arr = np.asarray(offsets, np.int64)
+
+    def row_loader(lo: int, hi: int) -> np.ndarray:
+        out = np.zeros((hi - lo, num_feats), np.float32)
+        with open(node_path, "rb") as f:
+            for j, off in enumerate(offsets_arr[lo:hi]):
+                f.seek(int(off))
+                fields = f.readline().decode().split("\t")
+                for tok in fields[2:-1]:  # last field = summary (skipped)
+                    name, _, val = tok.partition("=")
+                    out[j, feat_col[name]] = float(val)
+        return out
+
+    graph = _lazy_graph(
+        len(offsets), num_feats, labels, edges, int(labels.max()) + 1,
+        **build_kwargs,
+    )
+    return graph, row_loader

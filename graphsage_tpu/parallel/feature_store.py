@@ -157,6 +157,54 @@ def shard_features(
     )
 
 
+def shard_features_from_loader(
+    row_loader,
+    num_nodes: int,
+    num_feats: int,
+    num_shards: int,
+    sharding,
+    dtype=np.float32,
+) -> NodeShardedFeatures:
+    """Build the node-sharded store WITHOUT ever materializing the full
+    ``[N, F]`` table on any host.
+
+    ``row_loader(lo, hi) -> np.ndarray [hi-lo, F]`` supplies feature rows on
+    demand (e.g. :func:`graphsage_tpu.data.loaders.load_cora_lazy`'s
+    re-reading parser). ``jax.make_array_from_callback`` invokes the
+    callback only for this process's ADDRESSABLE shards, so on an M-process
+    pod each host parses and holds ``N/M`` rows — peak host RAM drops from
+    ``2·N·F`` (full table + stacked copy in :func:`shard_features`) to
+    ``N·F/M``. Single-process meshes behave identically to
+    :func:`shard_features` on the same rows (test-pinned).
+    """
+    rows = _round_up(max(-(-num_nodes // num_shards), 1), 8)
+    shape = (num_shards, rows, num_feats)
+    dtype = np.dtype(dtype)
+
+    # make_array_from_single_device_arrays over the ADDRESSABLE index map —
+    # unlike make_array_from_callback (which may probe non-local indices),
+    # this provably touches only this process's shards (asserted across a
+    # real 2-process mesh in tests/test_multiprocess.py).
+    pieces = []
+    for dev, idx in sharding.addressable_devices_indices_map(shape).items():
+        s_lo, s_hi, step = idx[0].indices(num_shards)
+        assert step == 1, "shard axis must not be strided"
+        out = np.zeros((s_hi - s_lo, rows, num_feats), dtype)
+        for j, s in enumerate(range(s_lo, s_hi)):
+            lo = min(s * rows, num_nodes)
+            hi = min(lo + rows, num_nodes)
+            if hi > lo:
+                out[j, : hi - lo] = row_loader(lo, hi)
+        pieces.append(jax.device_put(out[:, idx[1], idx[2]], dev))
+    placed = jax.make_array_from_single_device_arrays(shape, sharding, pieces)
+    return NodeShardedFeatures(
+        shards=placed,
+        num_shards=num_shards,
+        rows_per_shard=rows,
+        num_nodes=num_nodes,
+    )
+
+
 @struct.dataclass
 class ShardEdgeSlices:
     """Per-shard COO edge slice for the sharded layer-0 full-graph pass:
@@ -681,6 +729,7 @@ class ShardedFeatureTrainer(Trainer):
         capacity_slack: float = 1.5,
         layer0_exchange: str = "allgather",
         layer0_halo_kwargs: dict | None = None,
+        feature_store: NodeShardedFeatures | None = None,
     ):
         if gather_mode not in ("dense", "compact"):
             raise ValueError(f"unknown gather_mode {gather_mode!r}")
@@ -712,9 +761,28 @@ class ShardedFeatureTrainer(Trainer):
         self._repl = NamedSharding(mesh, P())
         super().__init__(model, graph, config)
         self._graph_nofeat = self.graph  # adjacency + labels, no feature table
-        self.features = shard_features(
-            graph.features, s, sharding=self._shard_sharding
-        )
+        if feature_store is not None:
+            # Pre-built store (e.g. shard_features_from_loader — pod-scale
+            # ingestion where no host ever materialized the full table).
+            # The graph's own feature leaf is then only a shape/dtype
+            # descriptor (load_cora_lazy ships a zero-strided view), so the
+            # eval_fanouts=None full-graph fallback is unavailable.
+            if feature_store.num_nodes != graph.num_nodes:
+                raise ValueError(
+                    f"feature_store covers {feature_store.num_nodes} nodes, "
+                    f"graph has {graph.num_nodes}"
+                )
+            if feature_store.num_shards != s:
+                raise ValueError(
+                    f"feature_store has {feature_store.num_shards} shards, "
+                    f"mesh axis {axis!r} has {s}"
+                )
+            self.features = feature_store
+        else:
+            self.features = shard_features(
+                graph.features, s, sharding=self._shard_sharding
+            )
+        self._external_store = feature_store is not None
         self.feature_shards = self.features.shards
         # layer0="full": the shared-table layer 0 runs DISTRIBUTED — each
         # chip aggregates its node range's edges over the all_gathered
@@ -1022,6 +1090,7 @@ class ShardedFeatureTrainer(Trainer):
         freed on return — no resident full table; fine for
         validation-sized calls; documented trade)."""
         if self.cfg.eval_fanouts is None:
+            self._require_full_table("the eval_fanouts=None full-graph eval")
             nodes = np.asarray(nodes)
             g = (
                 self._source_graph.to_device()
@@ -1063,6 +1132,19 @@ class ShardedFeatureTrainer(Trainer):
                 self.edge_slice_leaves, seeds_dev,
             )
         return np.asarray(jnp.argmax(logits, axis=-1))[: len(nodes)]
+
+    def _require_full_table(self, what: str) -> None:
+        """Loader-built stores (shard_features_from_loader) have no full
+        host feature table anywhere — the source graph's feature leaf is a
+        descriptor, and silently running ``what`` on it would produce
+        garbage predictions, not an error."""
+        if getattr(self, "_external_store", False):
+            raise ValueError(
+                f"{what} needs the full feature table, but this trainer "
+                "was built from a feature_store (no host ever held the "
+                "full [N, F] array); set eval_fanouts to evaluate through "
+                "the sharded gather instead"
+            )
 
     # ----------------------------------------------------------------- api
     def step(self, state, seeds):
@@ -1333,11 +1415,12 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
 
     def __init__(self, model, graph, config, mesh, axis="data",
                  capacity_slack: float = 1.5,
-                 layer0_exchange: str = "allgather"):
+                 layer0_exchange: str = "allgather",
+                 feature_store: NodeShardedFeatures | None = None):
         super().__init__(
             model, graph, config, mesh, axis=axis,
             gather_mode="compact", capacity_slack=capacity_slack,
-            layer0_exchange=layer0_exchange,
+            layer0_exchange=layer0_exchange, feature_store=feature_store,
         )
         self.adjacency = shard_adjacency(
             graph, mesh.shape[axis], sharding=self._shard_sharding

@@ -370,6 +370,7 @@ class UnsupervisedShardedTrainer(_ShardedFeatureTrainer):
                 self._source_graph.num_classes,
             )
             return np.asarray(preds)
+        self._require_full_table("the eval_fanouts=None full-graph probe")
         g = (
             self._source_graph.to_device()
             if self._source_graph.on_host

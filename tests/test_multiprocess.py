@@ -177,6 +177,54 @@ WORKER = textwrap.dedent(
     u_dist = float(np.asarray(jax.device_get(u_dist)))
     assert abs(u_dist - u_local) < 1e-5, (u_dist, u_local)
 
+    # --- loader-built feature store: pod ingestion semantics ------------
+    # shard_features_from_loader must ask THIS process's loader only for
+    # the rows its addressable shards own (shards 0-3 on proc 0, 4-7 on
+    # proc 1) — that per-host N/M parse IS the pod-scale ingestion claim.
+    # 128 nodes -> rows_per_shard = 16 (the 8-row padding rule), so each
+    # process owns exactly rows [64*pid, 64*pid + 64).
+    from graphsage_tpu.parallel.feature_store import (
+        shard_features_from_loader, sharded_row_gather_compact,
+    )
+
+    feats_full = (np.arange(128 * 4, dtype=np.float32).reshape(128, 4) + 1.0)
+    requested = []
+
+    def loader(lo, hi):
+        requested.append((lo, hi))
+        return feats_full[lo:hi]
+
+    store = shard_features_from_loader(
+        loader, 128, 4, 8, NamedSharding(mesh, P("data"))
+    )
+    assert store.rows_per_shard == 16, store.rows_per_shard
+    my_rows = set()
+    for lo, hi in requested:
+        my_rows.update(range(lo, hi))
+    own = set(range(pid * 64, pid * 64 + 64))  # 4 shards x 16 rows
+    assert my_rows == own, (sorted(my_rows), sorted(own))
+
+    # The loader-built store serves cross-process compact gathers exactly:
+    # every shard requests rows owned by the shard 4 apart — always in the
+    # OTHER process.
+    ids_lz = np.stack(
+        [np.array([((s + 4) % 8) * 16, ((s + 4) % 8) * 16 + 3], np.int32)
+         for s in range(8)]
+    )
+    rows_lz = jax.jit(
+        shard_map(
+            lambda sh, i: sharded_row_gather_compact(
+                "data", sh[0], i[0], 8)[None],
+            mesh=mesh,
+            in_specs=(P("data"), P("data")),
+            out_specs=P("data"),
+        )
+    )(store.shards, globalize(ids_lz, NamedSharding(mesh, P("data"))))
+    rows_lz_all = np.asarray(
+        mhu.process_allgather(rows_lz, tiled=True)
+    ).reshape(16, 4)
+    assert np.allclose(rows_lz_all, feats_full[ids_lz.reshape(-1)]), rows_lz_all
+
     # --- a FULL training step (grads + SGD) across the process mesh ----
     import optax
     tx = optax.sgd(0.5)
