@@ -269,6 +269,106 @@ void gsl_copy_edges(Dataset* ds, int64_t* out) {
 }
 void gsl_free(Dataset* ds) { delete ds; }
 
+// ---- Range parsers for the LAZY ingestion path ---------------------------
+// The pod-scale loaders (data/loaders.py load_*_lazy) record each content
+// line's byte offset at index time and fetch feature ROWS on demand —
+// these functions parse exactly the requested lines, never the whole file,
+// so per-host RAM stays N/M rows on an M-process pod. ``offsets``/``lens``
+// are the line start offsets and byte lengths (newline included is fine —
+// the tokenizers stop at whitespace). Returns 0 on success.
+
+int gsl_cora_feature_rows(const char* content_path, const int64_t* offsets,
+                          const int64_t* lens, int64_t n_rows,
+                          int64_t num_feats, float* out) {
+  FILE* f = std::fopen(content_path, "rb");
+  if (!f) return 1;
+  std::string buf;
+  for (int64_t i = 0; i < n_rows; ++i) {
+    if (std::fseek(f, static_cast<long>(offsets[i]), SEEK_SET) != 0 ||
+        (buf.resize(static_cast<size_t>(lens[i])),
+         lens[i] && std::fread(&buf[0], 1, static_cast<size_t>(lens[i]), f) !=
+                        static_cast<size_t>(lens[i]))) {
+      std::fclose(f);
+      return 2;
+    }
+    auto toks = wsplit(buf.data(), buf.size());
+    if (static_cast<int64_t>(toks.size()) < num_feats + 2) {
+      std::fclose(f);
+      return 3;
+    }
+    for (int64_t j = 0; j < num_feats; ++j)
+      out[i * num_feats + j] = static_cast<float>(tok_float(toks[1 + j]));
+  }
+  std::fclose(f);
+  return 0;
+}
+
+int gsl_pubmed_feature_rows(const char* node_path, const int64_t* offsets,
+                            const int64_t* lens, int64_t n_rows,
+                            int64_t num_feats, float* out) {
+  // Rebuild the header word->column map (Q15: entry j names column j-1),
+  // then parse only the requested rows.
+  FILE* f = std::fopen(node_path, "rb");
+  if (!f) return 1;
+  std::string header;
+  {
+    // Skip the banner line, read the header line.
+    int c;
+    while ((c = std::fgetc(f)) != EOF && c != '\n') {
+    }
+    while ((c = std::fgetc(f)) != EOF && c != '\n') header.push_back((char)c);
+    if (!header.empty() && header.back() == '\r') header.pop_back();
+  }
+  std::unordered_map<std::string, int64_t> feat_col;
+  {
+    auto cols = split(header.data(), header.size(), '\t');
+    for (size_t j = 0; j < cols.size(); ++j) {
+      auto parts = split(cols[j].first, cols[j].second, ':');
+      if (parts.size() >= 2)
+        feat_col[tok_str(parts[1])] = static_cast<int64_t>(j) - 1;
+    }
+  }
+  std::string buf;
+  for (int64_t i = 0; i < n_rows; ++i) {
+    if (std::fseek(f, static_cast<long>(offsets[i]), SEEK_SET) != 0 ||
+        (buf.resize(static_cast<size_t>(lens[i])),
+         lens[i] && std::fread(&buf[0], 1, static_cast<size_t>(lens[i]), f) !=
+                        static_cast<size_t>(lens[i]))) {
+      std::fclose(f);
+      return 2;
+    }
+    size_t blen = buf.size();
+    while (blen && (buf[blen - 1] == '\n' || buf[blen - 1] == '\r')) --blen;
+    auto fields = split(buf.data(), blen, '\t');
+    if (fields.size() < 3) {
+      std::fclose(f);
+      return 3;
+    }
+    float* row = out + i * num_feats;
+    std::memset(row, 0, sizeof(float) * static_cast<size_t>(num_feats));
+    // fields[2:-1]: word=value pairs; the final field (summary) is skipped.
+    for (size_t t = 2; t + 1 < fields.size(); ++t) {
+      const char* eq = static_cast<const char*>(
+          memchr(fields[t].first, '=', fields[t].second));
+      if (!eq) continue;
+      std::string name(fields[t].first,
+                       static_cast<size_t>(eq - fields[t].first));
+      auto it2 = feat_col.find(name);
+      if (it2 == feat_col.end() || it2->second < 0 ||
+          it2->second >= num_feats) {
+        std::fclose(f);
+        return 4;
+      }
+      row[it2->second] = static_cast<float>(
+          std::strtod(std::string(eq + 1, fields[t].first + fields[t].second)
+                          .c_str(),
+                      nullptr));
+    }
+  }
+  std::fclose(f);
+  return 0;
+}
+
 // ---------------------------------------------------------------- CSR build
 
 Csr* gsl_build_csr(int64_t num_nodes, const int64_t* edges, int64_t num_edges,

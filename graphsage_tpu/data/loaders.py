@@ -189,8 +189,20 @@ def _lazy_graph(num_nodes, num_feats, labels, edges, num_classes,
     )
 
 
+def _use_native_rows(engine: str, fn_name: str) -> bool:
+    if engine == "python":
+        return False
+    from graphsage_tpu.data import native
+
+    ok = native.available() and hasattr(native.load_library(), fn_name)
+    if engine == "native" and not ok:
+        raise RuntimeError("native loader unavailable (or .so predates the "
+                           "lazy path — run make -C graphsage_tpu/csrc)")
+    return ok
+
+
 def load_cora_lazy(
-    root: str | os.PathLike = "cora", **build_kwargs
+    root: str | os.PathLike = "cora", engine: str = "auto", **build_kwargs
 ) -> tuple[Graph, object]:
     """Cora with ON-DEMAND feature rows: ``(graph, row_loader)``.
 
@@ -236,8 +248,18 @@ def load_cora_lazy(
                 edge_list.append((node_map[fields[0]], node_map[fields[1]]))
     edges = np.array(edge_list, dtype=np.int64).reshape(-1, 2)
     offsets_arr = np.asarray(offsets, np.int64)
+    lens_arr = np.append(
+        offsets_arr[1:], os.path.getsize(content_path)
+    ) - offsets_arr
+    native_rows = _use_native_rows(engine, "gsl_cora_feature_rows")
 
     def row_loader(lo: int, hi: int) -> np.ndarray:
+        if native_rows:
+            from graphsage_tpu.data.native import cora_feature_rows_native
+
+            return cora_feature_rows_native(
+                content_path, offsets_arr[lo:hi], lens_arr[lo:hi], num_feats
+            )
         out = np.empty((hi - lo, num_feats), np.float32)
         with open(content_path, "rb") as f:
             for j, off in enumerate(offsets_arr[lo:hi]):
@@ -254,7 +276,8 @@ def load_cora_lazy(
 
 
 def load_pubmed_lazy(
-    root: str | os.PathLike = "pubmed-data", **build_kwargs
+    root: str | os.PathLike = "pubmed-data", engine: str = "auto",
+    **build_kwargs
 ) -> tuple[Graph, object]:
     """Pubmed with ON-DEMAND feature rows — same contract as
     :func:`load_cora_lazy`, with the Q15 quirks (header word map shifted by
@@ -293,8 +316,18 @@ def load_pubmed_lazy(
                                   node_map[fields[-1].split(":")[1]]))
     edges = np.array(edge_list, dtype=np.int64).reshape(-1, 2)
     offsets_arr = np.asarray(offsets, np.int64)
+    lens_arr = np.append(
+        offsets_arr[1:], os.path.getsize(node_path)
+    ) - offsets_arr
+    native_rows = _use_native_rows(engine, "gsl_pubmed_feature_rows")
 
     def row_loader(lo: int, hi: int) -> np.ndarray:
+        if native_rows:
+            from graphsage_tpu.data.native import pubmed_feature_rows_native
+
+            return pubmed_feature_rows_native(
+                node_path, offsets_arr[lo:hi], lens_arr[lo:hi], num_feats
+            )
         out = np.zeros((hi - lo, num_feats), np.float32)
         with open(node_path, "rb") as f:
             for j, off in enumerate(offsets_arr[lo:hi]):

@@ -75,6 +75,20 @@ def load_library(build: bool = True) -> Optional[ctypes.CDLL]:
     lib.gsl_csr_copy_indptr.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
     lib.gsl_csr_copy_indices.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
     lib.gsl_csr_free.argtypes = [ctypes.c_void_p]
+
+    for name in ("gsl_cora_feature_rows", "gsl_pubmed_feature_rows"):
+        fn = getattr(lib, name, None)
+        if fn is None:  # stale .so from before the lazy path; rebuild wins
+            continue
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
     _lib = lib
     return lib
 
@@ -152,3 +166,37 @@ def build_csr_native(
         return indptr, indices
     finally:
         lib.gsl_csr_free(handle)
+
+
+def _feature_rows(fn_name: str, path, offsets: np.ndarray, lens: np.ndarray,
+                  num_feats: int) -> np.ndarray:
+    lib = load_library()
+    if lib is None or not hasattr(lib, fn_name):
+        raise RuntimeError(f"native loader unavailable: {_lib_error}")
+    n = len(offsets)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    out = np.empty((n, num_feats), np.float32)
+    rc = getattr(lib, fn_name)(
+        os.fspath(path).encode(),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        num_feats,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc:
+        raise RuntimeError(f"{fn_name} failed with code {rc} on {path}")
+    return out
+
+
+def cora_feature_rows_native(path, offsets, lens, num_feats) -> np.ndarray:
+    """Parse the Cora content lines at ``offsets`` (byte lengths ``lens``)
+    into ``[n, F]`` feature rows — the lazy loader's native fast path."""
+    return _feature_rows("gsl_cora_feature_rows", path, offsets, lens, num_feats)
+
+
+def pubmed_feature_rows_native(path, offsets, lens, num_feats) -> np.ndarray:
+    """Q15 per-row parse (word=value pairs against the header map) of the
+    NODE.tab lines at ``offsets`` — the lazy loader's native fast path."""
+    return _feature_rows("gsl_pubmed_feature_rows", path, offsets, lens, num_feats)

@@ -170,12 +170,11 @@ def shard_features_from_loader(
 
     ``row_loader(lo, hi) -> np.ndarray [hi-lo, F]`` supplies feature rows on
     demand (e.g. :func:`graphsage_tpu.data.loaders.load_cora_lazy`'s
-    re-reading parser). ``jax.make_array_from_callback`` invokes the
-    callback only for this process's ADDRESSABLE shards, so on an M-process
-    pod each host parses and holds ``N/M`` rows — peak host RAM drops from
-    ``2·N·F`` (full table + stacked copy in :func:`shard_features`) to
-    ``N·F/M``. Single-process meshes behave identically to
-    :func:`shard_features` on the same rows (test-pinned).
+    byte-offset parser). Shards build per ADDRESSABLE device, so on an
+    M-process pod each host parses and holds ``N/M`` rows — peak host RAM
+    drops from ``2·N·F`` (full table + stacked copy in
+    :func:`shard_features`) to ``N·F/M``. Single-process meshes behave
+    identically to :func:`shard_features` on the same rows (test-pinned).
     """
     rows = _round_up(max(-(-num_nodes // num_shards), 1), 8)
     shape = (num_shards, rows, num_feats)

@@ -3,8 +3,8 @@
 The eager path costs every host ``2·N·F`` RAM (full table + the stacked
 copy inside shard_features) before anything is placed. The lazy path —
 ``load_*_lazy`` (byte-offset parse, zero-strided feature descriptor) +
-``shard_features_from_loader`` (make_array_from_callback asks only for
-ADDRESSABLE shards) — never materializes the full table on any host.
+``shard_features_from_loader`` (shards built per ADDRESSABLE device) —
+never materializes the full table on any host.
 Pinned here: byte-for-byte agreement with the eager loaders, store
 equality with shard_features, trainer lockstep through the loader store,
 and the guard that the (unavailable) full-graph eval fails loudly instead
@@ -160,3 +160,21 @@ def test_store_shape_mismatches_rejected(cora_root):
     with pytest.raises(ValueError, match="nodes"):
         ShardedFeatureTrainer(model, lazy_graph, cfg, mesh,
                               feature_store=wrong_nodes)
+
+
+def test_native_row_loaders_match_python(cora_root):
+    from graphsage_tpu.data import native
+
+    if not (native.available()
+            and hasattr(native.load_library(), "gsl_cora_feature_rows")):
+        pytest.skip("native library unavailable")
+    _, py_rows = load_cora_lazy(cora_root, engine="python")
+    _, nat_rows = load_cora_lazy(cora_root, engine="native")
+    np.testing.assert_array_equal(nat_rows(0, 200), py_rows(0, 200))
+    np.testing.assert_array_equal(nat_rows(1300, 1400), py_rows(1300, 1400))
+
+    proot = synth_pubmed_files(tempfile.mkdtemp(), seed=13)
+    _, py_p = load_pubmed_lazy(proot, engine="python")
+    _, nat_p = load_pubmed_lazy(proot, engine="native")
+    np.testing.assert_array_equal(nat_p(0, 64), py_p(0, 64))
+    np.testing.assert_array_equal(nat_p(33, 97), py_p(33, 97))
