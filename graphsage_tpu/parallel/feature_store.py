@@ -164,6 +164,7 @@ def shard_features_from_loader(
     num_shards: int,
     sharding,
     dtype=np.float32,
+    quantize: bool = False,
 ) -> NodeShardedFeatures:
     """Build the node-sharded store WITHOUT ever materializing the full
     ``[N, F]`` table on any host.
@@ -175,6 +176,12 @@ def shard_features_from_loader(
     drops from ``2·N·F`` (full table + stacked copy in
     :func:`shard_features`) to ``N·F/M``. Single-process meshes behave
     identically to :func:`shard_features` on the same rows (test-pinned).
+
+    ``quantize=True`` int8-quantizes each loaded block before placement —
+    per-ROW symmetric scales make quantization local to the owner, so it
+    composes with lazy ingestion for free (the transient f32 block is
+    one shard's rows, never the table) and the store is bit-identical to
+    ``shard_features(quantize_features(full_table))``.
     """
     rows = _round_up(max(-(-num_nodes // num_shards), 1), 8)
     shape = (num_shards, rows, num_feats)
@@ -184,8 +191,7 @@ def shard_features_from_loader(
     # unlike make_array_from_callback (which may probe non-local indices),
     # this provably touches only this process's shards (asserted across a
     # real 2-process mesh in tests/test_multiprocess.py).
-    pieces = []
-    for dev, idx in sharding.addressable_devices_indices_map(shape).items():
+    def local_block(idx):
         s_lo, s_hi, step = idx[0].indices(num_shards)
         assert step == 1, "shard axis must not be strided"
         out = np.zeros((s_hi - s_lo, rows, num_feats), dtype)
@@ -194,8 +200,34 @@ def shard_features_from_loader(
             hi = min(lo + rows, num_nodes)
             if hi > lo:
                 out[j, : hi - lo] = row_loader(lo, hi)
-        pieces.append(jax.device_put(out[:, idx[1], idx[2]], dev))
-    placed = jax.make_array_from_single_device_arrays(shape, sharding, pieces)
+        return out
+
+    addr = sharding.addressable_devices_indices_map(shape).items()
+    if quantize:
+        from graphsage_tpu.ops.quantize import quantize_features
+
+        q_pieces, s_pieces = [], []
+        for dev, idx in addr:
+            blk = local_block(idx)
+            qt = quantize_features(blk.reshape(-1, num_feats))
+            # Padding rows are all-zero, so quantize_features gives them
+            # scale 1 — exactly shard_features' quantized stacking rule.
+            q = qt.q.reshape(blk.shape)
+            sc = qt.scale.reshape(blk.shape[0], rows, 1)
+            q_pieces.append(jax.device_put(q[:, idx[1], idx[2]], dev))
+            s_pieces.append(jax.device_put(sc[:, idx[1], :1], dev))
+        placed = QuantizedTable(
+            q=jax.make_array_from_single_device_arrays(shape, sharding, q_pieces),
+            scale=jax.make_array_from_single_device_arrays(
+                (num_shards, rows, 1), sharding, s_pieces
+            ),
+        )
+    else:
+        pieces = [
+            jax.device_put(local_block(idx)[:, idx[1], idx[2]], dev)
+            for dev, idx in addr
+        ]
+        placed = jax.make_array_from_single_device_arrays(shape, sharding, pieces)
     return NodeShardedFeatures(
         shards=placed,
         num_shards=num_shards,

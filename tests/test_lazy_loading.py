@@ -178,3 +178,27 @@ def test_native_row_loaders_match_python(cora_root):
     _, nat_p = load_pubmed_lazy(proot, engine="native")
     np.testing.assert_array_equal(nat_p(0, 64), py_p(0, 64))
     np.testing.assert_array_equal(nat_p(33, 97), py_p(33, 97))
+
+
+def test_quantized_loader_store_matches_eager_quantized():
+    """quantize=True on the loader path == shard_features(quantize_features
+    (full table)) bit-for-bit — per-row scales are owner-local, so int8
+    composes with lazy ingestion without any host ever holding the f32
+    table."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from graphsage_tpu.ops.quantize import quantize_features
+
+    rng = np.random.default_rng(9)
+    feats = (rng.normal(size=(100, 12)) * 3.7).astype(np.float32)
+    mesh = make_mesh({"data": 8})
+    sharding = NamedSharding(mesh, P("data"))
+    eager = shard_features(quantize_features(feats), 8, sharding=sharding)
+    lazy = shard_features_from_loader(
+        lambda lo, hi: feats[lo:hi], 100, 12, 8, sharding, quantize=True
+    )
+    np.testing.assert_array_equal(np.asarray(lazy.shards.q),
+                                  np.asarray(eager.shards.q))
+    np.testing.assert_array_equal(np.asarray(lazy.shards.scale),
+                                  np.asarray(eager.shards.scale))
+    assert lazy.shards.q.dtype == jnp.int8
