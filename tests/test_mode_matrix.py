@@ -31,6 +31,12 @@ MODES = [
     dict(aggregator="maxpool", pool_dim=12),
     dict(aggregator="maxpool", pool_dim=12, concat_self=True),
     dict(aggregator="maxpool", pool_dim=12, self_loop=True),
+    # LSTM: fanout=None returns full ELL rows in adjacency order — exactly
+    # the sequence the full-graph ELL scan consumes, so the invariant is
+    # exact here too (order-sensitivity cancels).
+    dict(aggregator="lstm", pool_dim=12),
+    dict(aggregator="lstm", pool_dim=12, concat_self=True),
+    dict(aggregator="lstm", pool_dim=12, self_loop=True),
     # Shared-table layer 0 is exact (not just estimator-equal) with full
     # neighborhoods — so it belongs to the same invariant.
     dict(aggregator="mean", layer0="full"),
