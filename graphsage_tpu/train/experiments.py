@@ -303,6 +303,12 @@ def main(argv: Optional[list[str]] = None) -> None:
                         help="int8-quantize the frozen feature table at load "
                         "time (2-4x smaller resident table, int8 deepest-hop "
                         "gathers; sharded modes exchange int8 rows + scales)")
+    parser.add_argument("--compilation-cache", default=None, metavar="DIR",
+                        help="persistent XLA compilation cache directory "
+                        "(default ~/.cache/graphsage_tpu/xla — restarted "
+                        "runs replay 20-40s TPU compiles from disk)")
+    parser.add_argument("--no-compilation-cache", action="store_true",
+                        help="disable the persistent compilation cache")
     parser.add_argument("--quiet", action="store_true", help="suppress per-step loss")
     parser.add_argument("--log-jsonl", default=None,
                         help="append structured metrics records to this file")
@@ -332,6 +338,11 @@ def main(argv: Optional[list[str]] = None) -> None:
         import jax
 
         jax.config.update("jax_debug_nans", True)
+
+    if not args.no_compilation_cache:
+        from graphsage_tpu.utils.compile_cache import enable as _enable_cache
+
+        _enable_cache(args.compilation_cache)
 
     import contextlib
 

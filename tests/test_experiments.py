@@ -136,3 +136,22 @@ def test_run_preset_sharded_mode(synth_cora_root):
 
     assert np.isfinite(res["losses"]).all()
     assert len(res["losses"]) == 2
+
+
+def test_compilation_cache_writes_entries(tmp_path, monkeypatch):
+    """utils/compile_cache.enable routes XLA programs to the persistent
+    cache (the relay's 20-40s compiles replay from disk on restart)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from graphsage_tpu.utils.compile_cache import enable
+
+    d = enable(str(tmp_path / "xla"), min_compile_seconds=0.0)
+    try:
+        f = jax.jit(lambda x: jnp.tanh(x @ x.T).sum() * 3)
+        f(jnp.ones((48, 48))).block_until_ready()
+        assert len(os.listdir(d)) > 0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
