@@ -274,8 +274,25 @@ void gsl_free(Dataset* ds) { delete ds; }
 // line's byte offset at index time and fetch feature ROWS on demand —
 // these functions parse exactly the requested lines, never the whole file,
 // so per-host RAM stays N/M rows on an M-process pod. ``offsets``/``lens``
-// are the line start offsets and byte lengths (newline included is fine —
-// the tokenizers stop at whitespace). Returns 0 on success.
+// are the line start offsets and byte lengths. A trailing newline in the
+// buffer is tolerated, but NOT because wsplit treats it as whitespace (it
+// does not — it splits on ' '/'\t' only): it lands inside the final token,
+// which both row parsers skip (Cora's label / Pubmed's summary field); the
+// pubmed parser additionally strips trailing \r\n explicitly. Returns 0
+// on success.
+
+namespace {
+// 64-bit-safe seek: plain fseek takes long, which is 32 bits on LLP64 —
+// offsets past 2 GiB (exactly the pod-scale files this path exists for)
+// would wrap and silently parse the wrong rows.
+int seek64(FILE* f, int64_t off) {
+#ifdef _WIN32
+  return _fseeki64(f, off, SEEK_SET);
+#else
+  return fseeko(f, static_cast<off_t>(off), SEEK_SET);
+#endif
+}
+}  // namespace
 
 int gsl_cora_feature_rows(const char* content_path, const int64_t* offsets,
                           const int64_t* lens, int64_t n_rows,
@@ -284,7 +301,7 @@ int gsl_cora_feature_rows(const char* content_path, const int64_t* offsets,
   if (!f) return 1;
   std::string buf;
   for (int64_t i = 0; i < n_rows; ++i) {
-    if (std::fseek(f, static_cast<long>(offsets[i]), SEEK_SET) != 0 ||
+    if (seek64(f, offsets[i]) != 0 ||
         (buf.resize(static_cast<size_t>(lens[i])),
          lens[i] && std::fread(&buf[0], 1, static_cast<size_t>(lens[i]), f) !=
                         static_cast<size_t>(lens[i]))) {
@@ -330,7 +347,7 @@ int gsl_pubmed_feature_rows(const char* node_path, const int64_t* offsets,
   }
   std::string buf;
   for (int64_t i = 0; i < n_rows; ++i) {
-    if (std::fseek(f, static_cast<long>(offsets[i]), SEEK_SET) != 0 ||
+    if (seek64(f, offsets[i]) != 0 ||
         (buf.resize(static_cast<size_t>(lens[i])),
          lens[i] && std::fread(&buf[0], 1, static_cast<size_t>(lens[i]), f) !=
                         static_cast<size_t>(lens[i]))) {

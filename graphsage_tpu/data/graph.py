@@ -96,6 +96,9 @@ class Graph:
         """Place every array leaf on device (optionally with ``sharding``).
 
         One transfer per leaf; metadata is static and travels for free."""
+        reject_lazy_descriptor(
+            self.features, "Graph.to_device (it would place N*F zeros)"
+        )
         put = (
             (lambda a: jax.device_put(a, sharding))
             if sharding is not None
@@ -107,6 +110,31 @@ class Graph:
         """Copy every array leaf back to host numpy (frees device buffers
         once the device-side references drop)."""
         return jax.tree_util.tree_map(lambda a: np.asarray(a), self)
+
+
+def is_lazy_descriptor(arr) -> bool:
+    """True for the zero-strided feature placeholder the LAZY loaders ship
+    (``load_*_lazy``): shape ``[N, F]`` but O(F) real bytes of zeros —
+    a shape/dtype descriptor, never valid feature data."""
+    return (
+        isinstance(arr, np.ndarray)
+        and arr.ndim == 2
+        and arr.shape[0] > 1
+        and arr.strides[0] == 0
+    )
+
+
+def reject_lazy_descriptor(features, what: str) -> None:
+    """Fail loudly when a lazy graph's descriptor is about to be consumed
+    as real data — silently training/serving on all-zero features is the
+    failure mode the lazy path must never have."""
+    if is_lazy_descriptor(features):
+        raise ValueError(
+            f"this graph's features are a LAZY descriptor (load_*_lazy) — "
+            f"{what} would silently read N*F zeros. Build the sharded "
+            "store with shard_features_from_loader(row_loader, ...) and "
+            "pass it as feature_store=, or load eagerly instead"
+        )
 
 
 def sorted_unique_edges(
@@ -277,6 +305,10 @@ def quantize_graph(graph: Graph) -> Graph:
 
     if is_quantized(graph.features):
         return graph
+    reject_lazy_descriptor(
+        graph.features,
+        "quantize_graph (use shard_features_from_loader(quantize=True))",
+    )
     feats = graph.features
     if isinstance(feats, np.ndarray) and not feats.flags.c_contiguous:
         feats = np.ascontiguousarray(feats)

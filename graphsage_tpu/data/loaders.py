@@ -48,6 +48,41 @@ class RawDataset(NamedTuple):
     num_classes: int
 
 
+def _labels_by_first_appearance(names: list[str]) -> tuple[np.ndarray, int]:
+    """Q14: label ids by first appearance in file order. ONE implementation,
+    shared by the eager and lazy Cora parsers so the quirk cannot drift."""
+    label_map: dict[str, int] = {}
+    labels = np.empty(len(names), dtype=np.int32)
+    for i, name in enumerate(names):
+        labels[i] = label_map.setdefault(name, len(label_map))
+    return labels, len(label_map)
+
+
+def _cora_cites_edges(cites_path: str, node_map: dict[str, int]) -> np.ndarray:
+    edge_list: list[tuple[int, int]] = []
+    with open(cites_path) as f:
+        for line in f:
+            fields = line.split()
+            if len(fields) < 2:
+                continue
+            edge_list.append((node_map[fields[0]], node_map[fields[1]]))
+    return np.array(edge_list, dtype=np.int64).reshape(-1, 2)
+
+
+def _pubmed_cites_edges(cite_path: str, node_map: dict[str, int]) -> np.ndarray:
+    edge_list: list[tuple[int, int]] = []
+    with open(cite_path) as f:
+        f.readline()
+        f.readline()
+        for line in f:
+            fields = line.strip().split("\t")
+            if len(fields) < 2:
+                continue
+            edge_list.append((node_map[fields[1].split(":")[1]],
+                              node_map[fields[-1].split(":")[1]]))
+    return np.array(edge_list, dtype=np.int64).reshape(-1, 2)
+
+
 def parse_cora(root: str | os.PathLike) -> RawDataset:
     """Parse cora.content / cora.cites from ``root``."""
     root = os.fspath(root)
@@ -67,22 +102,10 @@ def parse_cora(root: str | os.PathLike) -> RawDataset:
             label_names.append(fields[-1])
 
     features = np.stack(feat_rows)
-    # Label ids by first appearance in file order (Q14).
-    label_map: dict[str, int] = {}
-    labels = np.empty(len(label_names), dtype=np.int32)
-    for i, name in enumerate(label_names):
-        labels[i] = label_map.setdefault(name, len(label_map))
-
+    labels, num_classes = _labels_by_first_appearance(label_names)
     node_map = {nid: i for i, nid in enumerate(node_ids)}
-    edge_list: list[tuple[int, int]] = []
-    with open(cites_path) as f:
-        for line in f:
-            fields = line.split()
-            if len(fields) < 2:
-                continue
-            edge_list.append((node_map[fields[0]], node_map[fields[1]]))
-    edges = np.array(edge_list, dtype=np.int64).reshape(-1, 2)
-    return RawDataset(features, labels, edges, len(label_map))
+    edges = _cora_cites_edges(cites_path, node_map)
+    return RawDataset(features, labels, edges, num_classes)
 
 
 def parse_pubmed(root: str | os.PathLike) -> RawDataset:
@@ -115,18 +138,7 @@ def parse_pubmed(root: str | os.PathLike) -> RawDataset:
             name, _, val = tok.partition("=")
             features[i, feat_col[name]] = float(val)
 
-    edge_list: list[tuple[int, int]] = []
-    with open(cite_path) as f:
-        f.readline()
-        f.readline()
-        for line in f:
-            fields = line.strip().split("\t")
-            if len(fields) < 2:
-                continue
-            a = node_map[fields[1].split(":")[1]]
-            b = node_map[fields[-1].split(":")[1]]
-            edge_list.append((a, b))
-    edges = np.array(edge_list, dtype=np.int64).reshape(-1, 2)
+    edges = _pubmed_cites_edges(cite_path, node_map)
     return RawDataset(features, labels, edges, int(labels.max()) + 1)
 
 
@@ -190,6 +202,8 @@ def _lazy_graph(num_nodes, num_feats, labels, edges, num_classes,
 
 
 def _use_native_rows(engine: str, fn_name: str) -> bool:
+    if engine not in ("auto", "python", "native"):
+        raise ValueError(f"unknown engine {engine!r}")
     if engine == "python":
         return False
     from graphsage_tpu.data import native
@@ -227,26 +241,20 @@ def load_cora_lazy(
     with open(content_path, "rb") as f:
         off = f.tell()
         for line in iter(f.readline, b""):
-            fields = line.split()
-            if fields:
-                node_ids.append(fields[0].decode())
-                label_names.append(fields[-1].decode())
+            stripped = line.strip()
+            if stripped:
+                # Index pass: only the id (first token) and label (last) —
+                # full O(F) tokenization of every line would cost each pod
+                # host most of an eager parse, defeating the lazy split.
+                node_ids.append(stripped.split(None, 1)[0].decode())
+                label_names.append(stripped.rsplit(None, 1)[-1].decode())
                 offsets.append(off)
                 if num_feats is None:
-                    num_feats = len(fields) - 2
+                    num_feats = len(stripped.split()) - 2
             off = f.tell()
-    label_map: dict[str, int] = {}
-    labels = np.empty(len(label_names), dtype=np.int32)
-    for i, name in enumerate(label_names):  # Q14: ids by first appearance
-        labels[i] = label_map.setdefault(name, len(label_map))
+    labels, num_classes = _labels_by_first_appearance(label_names)
     node_map = {nid: i for i, nid in enumerate(node_ids)}
-    edge_list: list[tuple[int, int]] = []
-    with open(cites_path) as f:
-        for line in f:
-            fields = line.split()
-            if len(fields) >= 2:
-                edge_list.append((node_map[fields[0]], node_map[fields[1]]))
-    edges = np.array(edge_list, dtype=np.int64).reshape(-1, 2)
+    edges = _cora_cites_edges(cites_path, node_map)
     offsets_arr = np.asarray(offsets, np.int64)
     lens_arr = np.append(
         offsets_arr[1:], os.path.getsize(content_path)
@@ -269,7 +277,7 @@ def load_cora_lazy(
         return out
 
     graph = _lazy_graph(
-        len(node_ids), num_feats, labels, edges, len(label_map),
+        len(node_ids), num_feats, labels, edges, num_classes,
         **build_kwargs,
     )
     return graph, row_loader
@@ -292,29 +300,22 @@ def load_pubmed_lazy(
     node_map: dict[str, int] = {}
     with open(node_path, "rb") as f:
         f.readline()  # banner
-        header = f.readline().decode().rstrip("\n").split("\t")
+        # rstrip \r\n, not just \n: a CRLF file would otherwise leave \r on
+        # the last header entry's word and every lookup of it would KeyError
+        # (the eager text-mode parser and the native parser both strip it).
+        header = f.readline().decode().rstrip("\r\n").split("\t")
         feat_col = {e.split(":")[1]: j - 1 for j, e in enumerate(header)}
         off = f.tell()
         for line in iter(f.readline, b""):
             if line.strip():
-                fields = line.decode().split("\t")
+                fields = line.decode().split("\t", 2)  # index pass: id+label
                 node_map[fields[0]] = len(offsets)
                 labels_list.append(int(fields[1].split("=")[1]) - 1)
                 offsets.append(off)
             off = f.tell()
     num_feats = len(feat_col) - 1  # minus the label pseudo-entry
     labels = np.asarray(labels_list, np.int32)
-
-    edge_list: list[tuple[int, int]] = []
-    with open(cite_path) as f:
-        f.readline()
-        f.readline()
-        for line in f:
-            fields = line.strip().split("\t")
-            if len(fields) >= 2:
-                edge_list.append((node_map[fields[1].split(":")[1]],
-                                  node_map[fields[-1].split(":")[1]]))
-    edges = np.array(edge_list, dtype=np.int64).reshape(-1, 2)
+    edges = _pubmed_cites_edges(cite_path, node_map)
     offsets_arr = np.asarray(offsets, np.int64)
     lens_arr = np.append(
         offsets_arr[1:], os.path.getsize(node_path)

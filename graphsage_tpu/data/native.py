@@ -171,8 +171,13 @@ def build_csr_native(
 def _feature_rows(fn_name: str, path, offsets: np.ndarray, lens: np.ndarray,
                   num_feats: int) -> np.ndarray:
     lib = load_library()
-    if lib is None or not hasattr(lib, fn_name):
+    if lib is None:
         raise RuntimeError(f"native loader unavailable: {_lib_error}")
+    if not hasattr(lib, fn_name):
+        raise RuntimeError(
+            f"the loaded libgraphsage_loader.so predates {fn_name} — "
+            "rebuild with: make -C graphsage_tpu/csrc"
+        )
     n = len(offsets)
     offsets = np.ascontiguousarray(offsets, np.int64)
     lens = np.ascontiguousarray(lens, np.int64)

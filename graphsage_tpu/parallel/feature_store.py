@@ -123,6 +123,11 @@ def shard_features(
     way (q and the per-row scale column split on the same node ranges);
     the cross-shard gathers then exchange int8 rows + 4-byte scales —
     see :func:`sharded_row_gather` / :func:`sharded_row_gather_compact`."""
+    from graphsage_tpu.data.graph import reject_lazy_descriptor
+
+    reject_lazy_descriptor(
+        features, "shard_features (the shards would be all-zero copies)"
+    )
     quant = is_quantized(features)
     feats = np.asarray(features.q if quant else features)
     n, f = feats.shape
@@ -203,15 +208,34 @@ def shard_features_from_loader(
         return out
 
     addr = sharding.addressable_devices_indices_map(shape).items()
+
+    # Replicated mesh axes hand several devices the SAME index — load (and
+    # quantize) each distinct block once and reuse it for every replica,
+    # instead of re-parsing from disk per device.
+    _blocks: dict = {}
+
+    def cached_block(idx):
+        key = tuple(
+            (sl.start, sl.stop, sl.step) if isinstance(sl, slice) else sl
+            for sl in idx
+        )
+        if key not in _blocks:
+            _blocks[key] = local_block(idx)
+        return _blocks[key]
+
     if quantize:
         from graphsage_tpu.ops.quantize import quantize_features
 
         q_pieces, s_pieces = [], []
+        _qblocks: dict = {}
         for dev, idx in addr:
-            blk = local_block(idx)
-            qt = quantize_features(blk.reshape(-1, num_feats))
-            # Padding rows are all-zero, so quantize_features gives them
-            # scale 1 — exactly shard_features' quantized stacking rule.
+            blk = cached_block(idx)
+            qkey = id(blk)
+            if qkey not in _qblocks:
+                # Padding rows are all-zero, so quantize_features gives them
+                # scale 1 — exactly shard_features' quantized stacking rule.
+                _qblocks[qkey] = quantize_features(blk.reshape(-1, num_feats))
+            qt = _qblocks[qkey]
             q = qt.q.reshape(blk.shape)
             sc = qt.scale.reshape(blk.shape[0], rows, 1)
             q_pieces.append(jax.device_put(q[:, idx[1], idx[2]], dev))
@@ -224,7 +248,7 @@ def shard_features_from_loader(
         )
     else:
         pieces = [
-            jax.device_put(local_block(idx)[:, idx[1], idx[2]], dev)
+            jax.device_put(cached_block(idx)[:, idx[1], idx[2]], dev)
             for dev, idx in addr
         ]
         placed = jax.make_array_from_single_device_arrays(shape, sharding, pieces)
@@ -807,6 +831,18 @@ class ShardedFeatureTrainer(Trainer):
                 raise ValueError(
                     f"feature_store has {feature_store.num_shards} shards, "
                     f"mesh axis {axis!r} has {s}"
+                )
+            if config.eval_fanouts is None:
+                # Fail at construction, not after the last training step:
+                # run() unconditionally ends in evaluate(), whose
+                # eval_fanouts=None path needs the full table this trainer
+                # does not have — the whole run's work would be lost to the
+                # raise.
+                raise ValueError(
+                    "feature_store trainers have no full feature table, so "
+                    "the eval_fanouts=None full-graph eval cannot run — set "
+                    "TrainConfig(eval_fanouts=...) to evaluate through the "
+                    "sharded gather"
                 )
             self.features = feature_store
         else:

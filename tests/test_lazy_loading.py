@@ -131,15 +131,15 @@ def test_trainer_from_loader_store_lockstep_and_guard(cora_root):
     np.testing.assert_array_equal(
         preds, eager_tr.predict(s1, eager_tr.val_nodes)
     )
-    # ...and the full-graph fallback fails LOUDLY instead of silently
-    # evaluating on the zero descriptor.
+    # ...and the full-graph fallback is unreachable by construction: a
+    # store-backed trainer with eval_fanouts=None fails FAST (see
+    # test_feature_store_requires_eval_fanouts).
     import dataclasses
 
     cfg_full = dataclasses.replace(cfg, eval_fanouts=None)
-    tr_full = ShardedFeatureTrainer(model, lazy_graph, cfg_full, mesh,
-                                    feature_store=store)
-    with pytest.raises(ValueError, match="feature_store"):
-        tr_full.predict(tr_full.init_state(), np.arange(4))
+    with pytest.raises(ValueError, match="eval_fanouts"):
+        ShardedFeatureTrainer(model, lazy_graph, cfg_full, mesh,
+                              feature_store=store)
 
 
 def test_store_shape_mismatches_rejected(cora_root):
@@ -202,3 +202,75 @@ def test_quantized_loader_store_matches_eager_quantized():
     np.testing.assert_array_equal(np.asarray(lazy.shards.scale),
                                   np.asarray(eager.shards.scale))
     assert lazy.shards.q.dtype == jnp.int8
+
+
+def test_lazy_descriptor_never_silently_consumed(cora_root):
+    """Every eager consumer of a lazy graph's zero descriptor must raise —
+    silently training/serving on N*F zeros is the one failure mode the lazy
+    path must not have (review finding)."""
+    from graphsage_tpu.data.graph import quantize_graph
+    from graphsage_tpu.train.trainer import Trainer
+
+    lazy_graph, _ = load_cora_lazy(cora_root)
+    model = GraphSAGE(in_dim=lazy_graph.num_features,
+                      num_classes=lazy_graph.num_classes,
+                      hidden_dims=(8, 8), fanouts=(4, 4))
+    cfg = TrainConfig(batch_size=32, num_steps=1, log_every=0,
+                      eval_fanouts=(4, 4))
+    mesh = make_mesh({"data": 8})
+    with pytest.raises(ValueError, match="LAZY descriptor"):
+        ShardedFeatureTrainer(model, lazy_graph, cfg, mesh)  # store forgotten
+    with pytest.raises(ValueError, match="LAZY descriptor"):
+        lazy_graph.to_device()
+    with pytest.raises(ValueError, match="LAZY descriptor"):
+        Trainer(model, lazy_graph, cfg)  # would device-place the zeros
+    with pytest.raises(ValueError, match="LAZY descriptor"):
+        quantize_graph(lazy_graph)
+    with pytest.raises(ValueError, match="LAZY descriptor"):
+        shard_features(lazy_graph.features, 8)
+
+
+def test_feature_store_requires_eval_fanouts(cora_root):
+    """feature_store + eval_fanouts=None fails at CONSTRUCTION — run()
+    unconditionally ends in evaluate(), and raising only there would
+    discard the whole training run's work (review finding)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    lazy_graph, row_loader = load_cora_lazy(cora_root)
+    mesh = make_mesh({"data": 8})
+    store = shard_features_from_loader(
+        row_loader, lazy_graph.num_nodes, lazy_graph.num_features, 8,
+        NamedSharding(mesh, P("data")),
+    )
+    model = GraphSAGE(in_dim=lazy_graph.num_features,
+                      num_classes=lazy_graph.num_classes,
+                      hidden_dims=(8, 8), fanouts=(4, 4))
+    with pytest.raises(ValueError, match="eval_fanouts"):
+        ShardedFeatureTrainer(
+            model, lazy_graph,
+            TrainConfig(batch_size=32, num_steps=1, log_every=0),
+            mesh, feature_store=store,
+        )
+
+
+def test_replicated_axis_loads_each_block_once():
+    """A {data, model} mesh replicates each shard across the model axis;
+    the loader must still be invoked once per distinct block, not once per
+    replica device (review finding: duplicated disk I/O at pod scale)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    feats = np.arange(100 * 12, dtype=np.float32).reshape(100, 12)
+    mesh = make_mesh({"data": 4, "model": 2})
+    calls = []
+
+    def loader(lo, hi):
+        calls.append((lo, hi))
+        return feats[lo:hi]
+
+    store = shard_features_from_loader(
+        loader, 100, 12, 4, NamedSharding(mesh, P("data"))
+    )
+    assert len(calls) == len(set(calls)) == 4, calls
+    eager = shard_features(feats, 4)
+    np.testing.assert_array_equal(np.asarray(store.shards),
+                                  np.asarray(eager.shards))
