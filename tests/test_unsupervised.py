@@ -518,3 +518,32 @@ def test_config_rejects_bad_objective_and_walk_length():
         TrainConfig(objective="unsupervised", walk_length=0)
     with pytest.raises(ValueError, match="num_negatives"):
         TrainConfig(objective="unsupervised", num_negatives=0)
+
+
+def test_unsupervised_fully_sharded_layer0_full_smoke():
+    """layer0='full' composes with the distributed-walk trainer (the
+    _layer0_table_fn_adj branch of the unsupervised step): finite losses
+    that descend, probe finite."""
+    import dataclasses
+
+    from graphsage_tpu.parallel.mesh import make_mesh
+    from graphsage_tpu.train.unsupervised import (
+        UnsupervisedFullyShardedTrainer,
+    )
+
+    g, model = _small_setup()
+    model = dataclasses.replace(model, layer0="full")
+    cfg = TrainConfig(
+        batch_size=64, num_steps=12, steps_per_dispatch=4, optimizer="adam",
+        learning_rate=0.01, objective="unsupervised", walk_length=2,
+        num_negatives=5, test_size=40, val_size=40, log_every=0,
+        eval_fanouts=(5, 5),
+    )
+    trainer = UnsupervisedFullyShardedTrainer(
+        model, g.to_host(), cfg, make_mesh({"data": 8}), capacity_slack=8.0
+    )
+    result = trainer.run(log=None)
+    losses = np.asarray(result["losses"])
+    assert np.isfinite(losses).all()
+    assert losses[-4:].mean() < losses[:4].mean()
+    assert np.isfinite(result["val_micro_f1"])
