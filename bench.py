@@ -249,6 +249,28 @@ def _measure_full_batch(graph, model, steps_per_block, blocks):
     }
 
 
+def _try_row(thunk, label):
+    """Run one bench row, converting a crash (relay hiccup, OOM, compile
+    failure) into a recorded error row instead of killing the WHOLE bench —
+    the driver needs the single JSON line even when one config fails."""
+    import sys
+    import traceback
+
+    try:
+        return thunk()
+    except Exception as e:  # noqa: BLE001 — the point is to survive anything
+        print(f"BENCH ROW FAILED [{label}]: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
+        return {
+            "error": f"{type(e).__name__}: {e}",
+            "edges_per_step": 0,
+            "sec_per_step": float("nan"),
+            "edges_per_s": 0.0,
+            "final_loss": float("nan"),
+        }
+
+
 def main() -> None:
     import jax
 
@@ -263,29 +285,29 @@ def main() -> None:
 
     # Headline: Cora-like synthetic (binary bag-of-words, homophilous edges
     # so the trained loss is meaningful, not just the step timing).
-    cora = _measure(
+    cora = _try_row(lambda: _measure(
         synthetic_cora_graph(2708, 1433, 5429, 7, seed=0),
         GraphSAGE(in_dim=1433, num_classes=7, hidden_dims=(128, 128), fanouts=(10, 10)),
         batch=256, steps_per_block=500, blocks=4,
-    )
+    ), "cora")
 
-    pubmed = _measure(
+    pubmed = _try_row(lambda: _measure(
         synthetic_pubmed_graph(19717, 500, 44338, 3, seed=0),
         GraphSAGE(in_dim=500, num_classes=3, hidden_dims=(128, 128), fanouts=(10, 25)),
         batch=1024, steps_per_block=200, blocks=2,
-    )
+    ), "pubmed")
 
     # Power-law rows carry homophily=0.8 from round 3 on, so the learning
     # floors below are meaningful (with label-random edges the shipped
     # pure-neighbor-mean mode cannot beat chance and a broken-convergence
     # regression would be invisible). Sampling/aggregation work per step is
     # shape-identical; throughput rows stay comparable to r1/r2.
-    powerlaw = _measure(
+    powerlaw = _try_row(lambda: _measure(
         power_law_graph(num_nodes=100_000, num_edges=1_000_000, num_feats=128,
                         num_classes=16, seed=0, homophily=0.8),
         GraphSAGE(in_dim=128, num_classes=16, hidden_dims=(128, 128), fanouts=(10, 10)),
         batch=1024, steps_per_block=200, blocks=2,
-    )
+    ), "powerlaw_100k")
 
     import jax.numpy as jnp
 
@@ -297,8 +319,8 @@ def main() -> None:
     )
     reddit_model = GraphSAGE(in_dim=602, num_classes=41, hidden_dims=(128, 128),
                              fanouts=(10, 25), compute_dtype=jnp.bfloat16)
-    reddit = _measure(reddit_graph, reddit_model,
-                      batch=512, steps_per_block=100, blocks=2)
+    reddit = _try_row(lambda: _measure(reddit_graph, reddit_model,
+                      batch=512, steps_per_block=100, blocks=2), "reddit")
 
     # BASELINE config #4 at full scale: 1M nodes / 20M directed slots,
     # 3-layer mean.
@@ -308,8 +330,9 @@ def main() -> None:
     model_1m = GraphSAGE(in_dim=256, num_classes=32,
                          hidden_dims=(256, 256, 256),
                          fanouts=(5, 10, 15), compute_dtype=jnp.bfloat16)
-    powerlaw_1m = _measure(graph_1m, model_1m,
-                           batch=4096, steps_per_block=50, blocks=2)
+    powerlaw_1m = _try_row(lambda: _measure(graph_1m, model_1m,
+                           batch=4096, steps_per_block=50, blocks=2),
+                           "powerlaw_1m")
 
     # Same config with the int8 feature table (ops/quantize.py): half the
     # deepest-hop gather bytes vs bf16 and a 512->260 MB resident table;
@@ -317,20 +340,21 @@ def main() -> None:
     # locality-bound at this shape (ROOFLINE §5 headroom 3).
     from graphsage_tpu.data.graph import quantize_graph
 
-    powerlaw_1m_q = _measure(quantize_graph(graph_1m), model_1m,
-                             batch=4096, steps_per_block=50, blocks=2)
+    powerlaw_1m_q = _try_row(lambda: _measure(quantize_graph(graph_1m), model_1m,
+                             batch=4096, steps_per_block=50, blocks=2),
+                             "powerlaw_1m_int8")
     del graph_1m
 
     # Full-batch training at the 100K power-law shape — the degree-bucketed
     # scatter-free SpMM path (no reference counterpart: the framework's
     # num_sample=None training capability at scale).
-    fullbatch = _measure_full_batch(
+    fullbatch = _try_row(lambda: _measure_full_batch(
         power_law_graph(num_nodes=100_000, num_edges=1_000_000, num_feats=128,
                         num_classes=16, seed=0, homophily=0.8),
         GraphSAGE(in_dim=128, num_classes=16, hidden_dims=(128, 128),
                   fanouts=(None, None)),
         steps_per_block=10, blocks=3,
-    )
+    ), "fullbatch")
 
     # Sharded trainers on the real chip ({data:1} mesh — round-2 VERDICT
     # item 3): proves the shard_map/all_to_all/psum_scatter paths compile
@@ -344,10 +368,10 @@ def main() -> None:
                            fanouts=(10, 10))
     sharded_rows = {}
     for mode in ("dense", "compact", "fully"):
-        sharded_rows[mode] = _measure_sharded(
+        sharded_rows[mode] = _try_row(lambda m=mode: _measure_sharded(
             cora_graph, cora_model, batch=256, steps_per_block=200, blocks=2,
-            mode=mode,
-        )
+            mode=m,
+        ), f"sharded_{mode}")
         sharded_rows[mode]["overhead_vs_plain_step_ms"] = round(
             (sharded_rows[mode]["sec_per_step"] - cora["sec_per_step"]) * 1e3, 4
         )
@@ -355,12 +379,12 @@ def main() -> None:
 
     # Serving: table-tier request cost on the Pubmed shape (gather + head
     # only — the refresh amortizes over a model version; docs/SERVING.md).
-    serving = _measure_serving(
+    serving = _try_row(lambda: _measure_serving(
         synthetic_pubmed_graph(19717, 500, 44338, 3, seed=0),
         GraphSAGE(in_dim=500, num_classes=3, hidden_dims=(128, 128),
                   fanouts=(10, 25)),
         batch=1024, steps_per_block=200, blocks=2,
-    )
+    ), "serving")
 
     # Shared-table layer-0 on the Pubmed-intent shape (ROOFLINE §5.1): the
     # full-graph CSR layer 0 replaces 256K sampled deepest-hop rows with
@@ -371,31 +395,33 @@ def main() -> None:
         in_dim=500, num_classes=3, hidden_dims=(128, 128), fanouts=(10, 25),
         layer0="full",
     )
-    pubmed_l0 = _measure(pubmed_graph, pubmed_model_full,
-                         batch=1024, steps_per_block=200, blocks=2)
+    pubmed_l0 = _try_row(lambda: _measure(pubmed_graph, pubmed_model_full,
+                         batch=1024, steps_per_block=200, blocks=2),
+                         "pubmed_layer0_full")
     from graphsage_tpu.parallel.halo import build_node_partition
 
     _pubmed_l0_part = build_node_partition(pubmed_graph, 8,
                                            bounds="equal_nodes")
-    pubmed_l0["edges_per_step"] = (
-        pubmed_l0["edges_per_step"] + pubmed_graph.num_edges
-    )
-    pubmed_l0["edges_per_s"] = (
-        pubmed_l0["edges_per_step"] / pubmed_l0["sec_per_step"]
-    )
+    if "error" not in pubmed_l0:
+        pubmed_l0["edges_per_step"] = (
+            pubmed_l0["edges_per_step"] + pubmed_graph.num_edges
+        )
+        pubmed_l0["edges_per_s"] = (
+            pubmed_l0["edges_per_step"] / pubmed_l0["sec_per_step"]
+        )
 
     # LSTM aggregator on the Cora shape (the paper's third aggregator —
     # models/layers.masked_lstm): k sequential [B,H]x[H,4H] recurrent
     # matmuls per layer, input projection hoisted to one MXU pass. Adam —
     # the reference's SGD 0.7 diverges the recurrent gates.
-    cora_lstm = _measure(
+    cora_lstm = _try_row(lambda: _measure(
         synthetic_cora_graph(2708, 1433, 5429, 7, seed=0),
         GraphSAGE(in_dim=1433, num_classes=7, hidden_dims=(128, 128),
                   fanouts=(10, 10), aggregator="lstm", pool_dim=128,
                   concat_self=True),
         batch=256, steps_per_block=200, blocks=2,
         optimizer="adam", learning_rate=0.005,
-    )
+    ), "cora_lstm")
 
     import dataclasses as _dc
 

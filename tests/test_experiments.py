@@ -155,3 +155,24 @@ def test_compilation_cache_writes_entries(tmp_path, monkeypatch):
         assert len(os.listdir(d)) > 0
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_bench_row_errors_are_contained():
+    """bench._try_row converts a row crash into an error record so the
+    driver still gets its single JSON line when one config fails."""
+    import sys
+
+    sys.path.insert(0, ".")
+    try:
+        from bench import _try_row
+    finally:
+        sys.path.pop(0)
+
+    ok = _try_row(lambda: {"edges_per_s": 5.0, "final_loss": 0.1}, "ok")
+    assert ok["edges_per_s"] == 5.0
+    bad = _try_row(lambda: 1 / 0, "boom")
+    assert "ZeroDivisionError" in bad["error"]
+    assert bad["edges_per_s"] == 0.0
+    import numpy as np
+
+    assert not np.isfinite(bad["final_loss"])  # trips the learning floor
