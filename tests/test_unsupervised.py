@@ -547,3 +547,32 @@ def test_unsupervised_fully_sharded_layer0_full_smoke():
     assert np.isfinite(losses).all()
     assert losses[-4:].mean() < losses[:4].mean()
     assert np.isfinite(result["val_micro_f1"])
+
+
+def test_pick_positive_step_uniform_over_visited():
+    """Chi-square: the positive pick is uniform over a walk's VALID steps
+    (a biased idx rounding would systematically over-weight early steps —
+    skewing every context pair on both the replicated and the distributed
+    paths, which share this helper)."""
+    from graphsage_tpu.ops.walks import pick_positive_step
+
+    walks = jnp.asarray([[9, 11, 12, 13, 14, 15]], jnp.int32)  # 5 visited
+    valid = jnp.ones((1, 6), bool)
+    seeds = jnp.asarray([9], jnp.int32)
+    draws = 4000
+    keys = jax.random.split(jax.random.PRNGKey(2), draws)
+    pos, mask = jax.vmap(
+        lambda k: pick_positive_step(k, walks, valid, seeds)
+    )(keys)
+    assert bool(np.asarray(mask).all())
+    counts = np.bincount(np.asarray(pos).reshape(-1) - 11, minlength=5)
+    expected = draws / 5.0
+    chi2 = float(((counts - expected) ** 2 / expected).sum())
+    assert chi2 < 18.47, f"chi2={chi2} (df=4, p=0.001 cutoff 18.47)"
+    # Prefix-masked walk: only the valid prefix is ever picked.
+    valid2 = jnp.asarray([[True, True, True, False, False, False]])
+    pos2, mask2 = jax.vmap(
+        lambda k: pick_positive_step(k, walks, valid2, seeds)
+    )(keys[:500])
+    assert bool(np.asarray(mask2).all())
+    assert set(np.asarray(pos2).reshape(-1)) <= {11, 12}
