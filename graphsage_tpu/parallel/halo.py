@@ -535,8 +535,14 @@ def build_node_partition(
     edge_dst = np.asarray(graph.edge_dst)[: graph.num_edges]
     # Halo h0 stacks raw rows — int8 tables dequantize here, once, on the
     # host (the full-graph path reads dense rows anyway).
+    from graphsage_tpu.data.graph import reject_lazy_descriptor
     from graphsage_tpu.ops.quantize import dense_host_view
 
+    reject_lazy_descriptor(
+        graph.features,
+        "build_node_partition (the halo h0 payload would stack N*F zeros; "
+        "the full-graph/halo paths need eagerly loaded features)",
+    )
     feats = dense_host_view(graph.features)
     labels = np.asarray(graph.labels)
     n = graph.num_nodes

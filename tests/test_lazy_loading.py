@@ -274,3 +274,11 @@ def test_replicated_axis_loads_each_block_once():
     eager = shard_features(feats, 4)
     np.testing.assert_array_equal(np.asarray(store.shards),
                                   np.asarray(eager.shards))
+
+
+def test_halo_partition_rejects_lazy_descriptor(cora_root):
+    from graphsage_tpu.parallel.halo import build_node_partition
+
+    lazy_graph, _ = load_cora_lazy(cora_root)
+    with pytest.raises(ValueError, match="LAZY descriptor"):
+        build_node_partition(lazy_graph, 8)
