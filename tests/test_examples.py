@@ -13,6 +13,7 @@ EXAMPLES = [
     ("03_distributed.py", []),
     ("04_serving.py", []),
     ("05_pod_ingestion.py", []),
+    ("06_inductive.py", []),
 ]
 
 
