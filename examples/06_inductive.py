@@ -14,7 +14,7 @@ import sys
 import numpy as np
 
 import graphsage_tpu as gt
-from graphsage_tpu.data.graph import build_graph
+from graphsage_tpu.data.graph import induced_subgraph
 from graphsage_tpu.data.synthetic import power_law_graph
 from graphsage_tpu.utils.metrics import micro_f1
 
@@ -24,13 +24,7 @@ def main(argv=None):
                            num_classes=5, seed=4, homophily=0.9)
     n_seen = 420  # the last 180 nodes "arrive after training"
 
-    feats = np.asarray(full.features)[:n_seen]
-    labels = np.asarray(full.labels)[:n_seen]
-    src = np.asarray(full.edge_src)[: full.num_edges]
-    dst = np.asarray(full.edge_dst)[: full.num_edges]
-    m = (src < n_seen) & (dst < n_seen)
-    today = build_graph(feats, labels, np.stack([src[m], dst[m]], 1),
-                        num_classes=5, undirected=False)
+    today = induced_subgraph(full, np.arange(n_seen))
 
     model = gt.GraphSAGE(in_dim=48, num_classes=5, hidden_dims=(32, 32),
                          fanouts=(5, 5))

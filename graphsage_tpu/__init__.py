@@ -19,6 +19,7 @@ Top-level re-exports cover the common surface; submodules hold the rest:
 from graphsage_tpu.data.graph import (
     Graph,
     build_graph,
+    induced_subgraph,
     quantize_graph,
     relabel_graph,
 )
@@ -61,6 +62,7 @@ __all__ = [
     "build_graph",
     "relabel_graph",
     "quantize_graph",
+    "induced_subgraph",
     "QuantizedTable",
     "quantize_features",
     "dequantize",

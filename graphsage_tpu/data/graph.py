@@ -315,6 +315,34 @@ def quantize_graph(graph: Graph) -> Graph:
     return graph.replace(features=quantize_features(feats))
 
 
+def induced_subgraph(graph: Graph, nodes: np.ndarray, **build_kwargs) -> Graph:
+    """The subgraph induced on ``nodes`` (ids relabeled to ``0..len-1``).
+
+    The inductive-workflow primitive (tests/test_inductive.py,
+    examples/06_inductive.py): train on ``induced_subgraph(g, seen)``,
+    then run the SAME params on the grown graph — parameters are
+    graph-independent, so nothing else changes. Host-side numpy;
+    ``build_kwargs`` forward to :func:`build_graph` (placement etc.).
+    """
+    from graphsage_tpu.ops.quantize import dense_host_view
+
+    reject_lazy_descriptor(graph.features, "induced_subgraph")
+    nodes = np.asarray(nodes).reshape(-1)
+    feats = dense_host_view(graph.features)[nodes]
+    labels = np.asarray(graph.labels)[nodes]
+    src = np.asarray(graph.edge_src)[: graph.num_edges]
+    dst = np.asarray(graph.edge_dst)[: graph.num_edges]
+    inv = -np.ones(graph.num_nodes, np.int64)
+    inv[nodes] = np.arange(len(nodes))
+    m = (inv[src] >= 0) & (inv[dst] >= 0)
+    edges = np.stack([inv[src[m]], inv[dst[m]]], axis=1)
+    # The source edge list is already mirrored+deduped; don't re-mirror.
+    build_kwargs.setdefault("undirected", False)
+    return build_graph(
+        feats, labels, edges, num_classes=graph.num_classes, **build_kwargs
+    )
+
+
 def relabel_graph(
     graph: Graph,
     order: np.ndarray,

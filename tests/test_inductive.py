@@ -18,7 +18,7 @@ import jax
 import numpy as np
 import pytest
 
-from graphsage_tpu.data.graph import build_graph
+from graphsage_tpu.data.graph import induced_subgraph
 from graphsage_tpu.data.synthetic import power_law_graph
 from graphsage_tpu.models.graphsage import GraphSAGE
 from graphsage_tpu.train.config import TrainConfig
@@ -26,30 +26,12 @@ from graphsage_tpu.train.trainer import Trainer
 from graphsage_tpu.utils.metrics import micro_f1
 
 
-def _induced_subgraph_arrays(graph, keep: np.ndarray):
-    """Host arrays of the subgraph induced on ``keep`` (ids relabeled to
-    0..len(keep))."""
-    feats = np.asarray(graph.features)[keep]
-    labels = np.asarray(graph.labels)[keep]
-    src = np.asarray(graph.edge_src)[: graph.num_edges]
-    dst = np.asarray(graph.edge_dst)[: graph.num_edges]
-    inv = -np.ones(graph.num_nodes, np.int64)
-    inv[keep] = np.arange(len(keep))
-    m = (inv[src] >= 0) & (inv[dst] >= 0)
-    edges = np.stack([inv[src[m]], inv[dst[m]]], axis=1)
-    return feats, labels, edges
-
-
 @pytest.fixture(scope="module")
 def setup():
     full = power_law_graph(num_nodes=600, num_edges=2400, num_feats=48,
                            num_classes=5, seed=4, homophily=0.9)
     n_train = 420
-    keep = np.arange(n_train)
-    feats, labels, edges = _induced_subgraph_arrays(full, keep)
-    # The training graph is already undirected+deduped; don't re-mirror.
-    train_graph = build_graph(feats, labels, edges, num_classes=5,
-                              undirected=False)
+    train_graph = induced_subgraph(full, np.arange(n_train))
     model = GraphSAGE(in_dim=48, num_classes=5, hidden_dims=(32, 32),
                       fanouts=(5, 5))
     cfg = TrainConfig(batch_size=64, num_steps=120, learning_rate=0.5,
