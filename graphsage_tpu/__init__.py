@@ -19,6 +19,7 @@ Top-level re-exports cover the common surface; submodules hold the rest:
 from graphsage_tpu.data.graph import (
     Graph,
     build_graph,
+    disjoint_union,
     induced_subgraph,
     quantize_graph,
     relabel_graph,
@@ -63,6 +64,7 @@ __all__ = [
     "relabel_graph",
     "quantize_graph",
     "induced_subgraph",
+    "disjoint_union",
     "QuantizedTable",
     "quantize_features",
     "dequantize",

@@ -59,7 +59,10 @@ class Graph:
 
     # Node payload
     features: jax.Array  # float [num_nodes, num_features]
-    labels: jax.Array  # int32 [num_nodes]
+    # int32 [num_nodes] single-label class ids, OR int8 [num_nodes,
+    # num_classes] multi-hot rows (multilabel / PPI-family graphs — every
+    # consumer indexes axis 0 only, so both layouts flow through unchanged)
+    labels: jax.Array
 
     # Static metadata
     num_nodes: int = struct.field(pytree_node=False)
@@ -219,7 +222,19 @@ def build_graph(
     if placement not in ("device", "host"):
         raise ValueError(f"unknown placement {placement!r}")
     features = np.asarray(features)
-    labels = np.asarray(labels).reshape(-1).astype(np.int32)
+    labels = np.asarray(labels)
+    if labels.ndim == 2 and labels.shape[1] > 1:
+        # Multi-hot [N, C] rows (multilabel / PPI family): kept 2-D, int8.
+        labels = (labels != 0).astype(np.int8)
+        if num_classes is None:
+            num_classes = labels.shape[1]
+        elif num_classes != labels.shape[1]:
+            raise ValueError(
+                f"num_classes ({num_classes}) != multi-hot label width "
+                f"({labels.shape[1]})"
+            )
+    else:
+        labels = labels.reshape(-1).astype(np.int32)
     num_nodes, num_features = features.shape
     if labels.shape[0] != num_nodes:
         raise ValueError(f"labels ({labels.shape[0]}) != num_nodes ({num_nodes})")
@@ -338,9 +353,68 @@ def induced_subgraph(graph: Graph, nodes: np.ndarray, **build_kwargs) -> Graph:
     edges = np.stack([inv[src[m]], inv[dst[m]]], axis=1)
     # The source edge list is already mirrored+deduped; don't re-mirror.
     build_kwargs.setdefault("undirected", False)
-    return build_graph(
+    sub = build_graph(
         feats, labels, edges, num_classes=graph.num_classes, **build_kwargs
     )
+    # Inducing on a symmetric graph keeps both directions of every
+    # surviving edge, so the subgraph is symmetric — restore the flag
+    # build_graph(undirected=False) conservatively cleared (it gates the
+    # scatter-free full-graph backward).
+    if graph.symmetric and build_kwargs.get("max_degree") is None:
+        sub = sub.replace(symmetric=True)
+    return sub
+
+
+def disjoint_union(graphs: Sequence[Graph], **build_kwargs) -> Graph:
+    """One :class:`Graph` holding every input graph side by side, node ids
+    offset so no edges cross inputs.
+
+    The multigraph-training primitive of the inductive (PPI-style)
+    workflow: train one model over ``disjoint_union(train_graphs)`` —
+    message passing never leaks across components, so it is exactly
+    per-graph training with shared parameters — then evaluate the same
+    params on each held-out graph directly (parameters are
+    graph-independent). No reference counterpart (the reference is
+    single-graph transductive, model.py:39-63).
+
+    All inputs must agree on feature width, label layout and
+    ``num_classes``. Host-side numpy; ``build_kwargs`` forward to
+    :func:`build_graph`.
+    """
+    from graphsage_tpu.ops.quantize import dense_host_view
+
+    if not graphs:
+        raise ValueError("disjoint_union of no graphs")
+    g0 = graphs[0]
+    for g in graphs:
+        reject_lazy_descriptor(g.features, "disjoint_union")
+        if g.num_features != g0.num_features:
+            raise ValueError("feature widths differ across graphs")
+        if g.num_classes != g0.num_classes:
+            raise ValueError("num_classes differs across graphs")
+        if np.asarray(g.labels).ndim != np.asarray(g0.labels).ndim:
+            raise ValueError("label layouts differ across graphs")
+    feats = np.concatenate([dense_host_view(g.features) for g in graphs])
+    labels = np.concatenate([np.asarray(g.labels) for g in graphs])
+    parts, offset = [], 0
+    for g in graphs:
+        e = g.num_edges
+        src = np.asarray(g.edge_src)[:e] + offset
+        dst = np.asarray(g.edge_dst)[:e] + offset
+        parts.append(np.stack([src, dst], axis=1))
+        offset += g.num_nodes
+    edges = np.concatenate(parts) if parts else np.zeros((0, 2), np.int64)
+    # Source edge lists are already mirrored+deduped where symmetric, so
+    # build directed — but a union of symmetric graphs IS symmetric (the
+    # offsets move both directions together), so restore the flag that
+    # build_graph(undirected=False) conservatively clears.
+    build_kwargs.setdefault("undirected", False)
+    union = build_graph(
+        feats, labels, edges, num_classes=g0.num_classes, **build_kwargs
+    )
+    if all(g.symmetric for g in graphs) and build_kwargs.get("max_degree") is None:
+        union = union.replace(symmetric=True)
+    return union
 
 
 def relabel_graph(

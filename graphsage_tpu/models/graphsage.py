@@ -38,6 +38,7 @@ from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -149,6 +150,13 @@ class GraphSAGE:
     #     rows — parallel/feature_store.py), and the halo FullGraphTrainer
     #     is the full-batch analog.
     layer0: str = "sampled"
+    # Multi-label classification (the paper's PPI protein-function family;
+    # no reference counterpart — reference model.py:35-37 is single-label
+    # softmax CE only). True switches the head objective to independent
+    # per-class sigmoid BCE over multi-hot [B, C] labels and prediction to
+    # per-class thresholding (logit > 0). Everything upstream of the head
+    # (sampling, aggregation, sharding) is label-free and unchanged.
+    multilabel: bool = False
     # Last-layer nonlinearity. "relu" matches the reference encoder (every
     # layer ReLUs — reference encoders.py:48); "linear" drops it on the
     # FINAL layer only — required by the unsupervised graph-context loss
@@ -794,12 +802,40 @@ class GraphSAGE:
         graph: Graph | None = None,
         layer0_table: jax.Array | None = None,
     ) -> jax.Array:
-        """Mean softmax cross-entropy (reference model.py:35-37)."""
+        """Mean softmax cross-entropy (reference model.py:35-37), or mean
+        sigmoid BCE over multi-hot labels under ``multilabel=True``."""
         logits = self.forward(
             params, features, frontier,
             gather_fn=gather_fn, gather_mean_fn=gather_mean_fn, graph=graph,
             layer0_table=layer0_table,
         )
+        return self.classification_loss(logits, labels).mean()
+
+    def classification_loss(self, logits: jax.Array, labels: jax.Array) -> jax.Array:
+        """Per-example classification loss ``[B]`` — the one head objective
+        every trainer (sampled, full-graph, sharded) routes through.
+
+        Single-label: softmax CE on integer labels (reference model.py:35-37).
+        Multilabel: mean-over-classes sigmoid BCE on multi-hot ``[B, C]``
+        labels (the paper's PPI objective)."""
+        if self.multilabel:
+            if labels.ndim != 2:
+                raise ValueError(
+                    f"multilabel=True needs multi-hot [B, C] labels, got "
+                    f"shape {labels.shape} — build the graph with 2-D labels"
+                )
+            return optax.sigmoid_binary_cross_entropy(
+                logits, labels.astype(logits.dtype)
+            ).mean(axis=-1)
         return optax.softmax_cross_entropy_with_integer_labels(
             logits, labels.reshape(-1)
-        ).mean()
+        )
+
+    def predictions(self, logits) -> np.ndarray:
+        """Host-side class decisions from logits: argmax (single-label,
+        reference model.py:105) or per-class ``logit > 0`` multi-hot
+        (multilabel — sigmoid threshold 0.5)."""
+        logits = np.asarray(logits)
+        if self.multilabel:
+            return (logits > 0).astype(np.int8)
+        return logits.argmax(axis=-1)

@@ -1165,7 +1165,7 @@ class ShardedFeatureTrainer(Trainer):
                 else self._source_graph
             )
             logits = self._jit_full_logits(state.params, g)
-            return np.asarray(jnp.argmax(logits, axis=-1))[nodes]
+            return self.model.predictions(logits)[nodes]
         nodes = np.asarray(nodes)
         s = self.mesh.shape[self.axis]
         pad = (-len(nodes)) % s
@@ -1198,7 +1198,7 @@ class ShardedFeatureTrainer(Trainer):
                 state.params, self.feature_shards, self._graph_nofeat,
                 self.edge_slice_leaves, seeds_dev,
             )
-        return np.asarray(jnp.argmax(logits, axis=-1))[: len(nodes)]
+        return self.model.predictions(logits)[: len(nodes)]
 
     def _require_full_table(self, what: str) -> None:
         """Loader-built stores (shard_features_from_loader) have no full
@@ -1735,7 +1735,7 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
         pad = (-len(nodes)) % s
         seeds = np.concatenate([nodes, np.zeros(pad, nodes.dtype)])
         logits = self._eval_with_slack_retries(state.params, seeds)
-        return np.asarray(jnp.argmax(logits, axis=-1))[: len(nodes)]
+        return self.model.predictions(logits)[: len(nodes)]
 
     def memory_stats(self) -> dict:
         return {**super().memory_stats(), **self.adjacency.memory_stats()}

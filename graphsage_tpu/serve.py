@@ -291,9 +291,10 @@ class ServingEngine:
         return np.asarray(logits)[:n]
 
     def predict(self, nodes) -> np.ndarray:
-        """``[B]`` argmax class predictions."""
+        """``[B]`` class predictions (argmax, or multi-hot rows under
+        ``model.multilabel``)."""
         _, logits, n = self._logits(nodes)
-        return np.asarray(jnp.argmax(logits, axis=-1))[:n]
+        return self.model.predictions(logits)[:n]
 
     def embed(self, nodes) -> np.ndarray:
         """``[B, d_L]`` node representations (the reference's

@@ -131,9 +131,7 @@ class FullGraphTrainer:
 
     def _loss(self, params: SAGEParams, payload: jax.Array) -> jax.Array:
         logits = self._logits_fn(params, payload)
-        ce = optax.softmax_cross_entropy_with_integer_labels(
-            logits, self.graph.labels
-        )
+        ce = self.model.classification_loss(logits, self.graph.labels)
         w = self._train_mask.astype(ce.dtype)
         return (ce * w).sum() / w.sum()
 
@@ -170,7 +168,7 @@ class FullGraphTrainer:
 
     def evaluate(self, state: TrainState, nodes: np.ndarray) -> dict[str, float]:
         logits = np.asarray(self._jit_logits(state.params, self._payload))
-        preds = logits.argmax(axis=-1)[np.asarray(nodes)]
+        preds = self.model.predictions(logits)[np.asarray(nodes)]
         truth = np.asarray(self.graph.labels)[np.asarray(nodes)]
         return {
             "micro_f1": micro_f1(truth, preds),

@@ -218,7 +218,7 @@ class Trainer:
         nodes = np.asarray(nodes)
         if self.cfg.eval_fanouts is None:
             logits = self._jit_full_logits(state.params, self.graph)
-            return np.asarray(jnp.argmax(logits, axis=-1))[nodes]
+            return self.model.predictions(logits)[nodes]
         if self._eval_model is None:
             fanouts = self.cfg.eval_fanouts or self.model.fanouts
             self._eval_model = dataclasses.replace(self.model, fanouts=tuple(fanouts))
@@ -233,7 +233,7 @@ class Trainer:
             self.graph,
             jnp.asarray(nodes, jnp.int32),
         )
-        return np.asarray(jnp.argmax(logits, axis=-1))
+        return self.model.predictions(logits)
 
     def evaluate(self, state: TrainState, nodes: np.ndarray) -> dict[str, float]:
         nodes = np.asarray(nodes)
