@@ -198,25 +198,18 @@ class UnsupervisedShardedTrainer(_ShardedFeatureTrainer):
         state, (losses, violated) = jax.lax.scan(body, state, seeds_all)
         return state, losses, violated
 
-    def step(self, state, seeds):
-        seeds = jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl)
-        state, loss, violated = self._jit_step(
-            state, self.feature_shards, self._graph_nofeat,
-            self.edge_slice_leaves, seeds, self.neg_cdf,
-        )
-        if bool(violated):
-            raise ValueError(
-                "compact sharded-gather capacity exceeded this step: a "
-                "per-pair request bucket overflowed (rows would be "
-                "clipped). Increase capacity_slack or use "
-                "gather_mode='dense'."
-            )
-        return state, loss
+    # step() is inherited: the ShardedFeatureTrainer retry ladder drives
+    # _step_impl (dynamic dispatch reaches this class's _sharded_step) with
+    # the neg_cdf threaded through _step_call_args.
+    def _step_call_args(self, seeds):
+        return (self.feature_shards, self._graph_nofeat,
+                self.edge_slice_leaves, seeds, self.neg_cdf)
 
     def _sharded_step(self, state, feature_shards, graph, edge_leaves, seeds,
-                      neg_cdf):
+                      neg_cdf, slack=None):
         from graphsage_tpu.models.graphsage import Frontier
         from graphsage_tpu.parallel.feature_store import (
+            _guard_state_update,
             _lead0,
             make_sharded_gather_fns,
         )
@@ -226,6 +219,7 @@ class UnsupervisedShardedTrainer(_ShardedFeatureTrainer):
         model = self.model
         axis = self.axis
         q = self.cfg.num_negatives
+        slack = self.capacity_slack if slack is None else slack
         next_key, step_key = jax.random.split(state.key)
         # Replicated walk/negative sampling + frontier build: identical key
         # stream and group layout to the single-chip UnsupervisedTrainer —
@@ -237,14 +231,14 @@ class UnsupervisedShardedTrainer(_ShardedFeatureTrainer):
         frontier = model.sample(k_sample, graph, group_seeds)
         gather_fn, gather_mean_fn = make_sharded_gather_fns(
             axis, mode=self.gather_mode,
-            num_shards=self.mesh.shape[axis], slack=self.capacity_slack,
+            num_shards=self.mesh.shape[axis], slack=slack,
         )
 
         def shard_step(params, shard, edge_local, f_ids, f_masks, mask_local):
             shard_l = _lead0(shard)
             local = Frontier(ids=f_ids, masks=f_masks)
             violated = (
-                self._local_sites_violated(local)
+                self._local_sites_violated(local, slack=slack)
                 if self.gather_mode == "compact"
                 else jnp.zeros((), bool)
             )
@@ -301,14 +295,11 @@ class UnsupervisedShardedTrainer(_ShardedFeatureTrainer):
 
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(
-                params=params, opt_state=opt_state, key=next_key,
-                step=state.step + 1,
-            ),
-            loss,
-            violated,
+        new_state = TrainState(
+            params=params, opt_state=opt_state, key=next_key,
+            step=state.step + 1,
         )
+        return _guard_state_update(violated, state, new_state), loss, violated
 
     # ------------------------------------------------------------------- eval
     def predict(self, state, nodes):
@@ -455,28 +446,22 @@ class UnsupervisedFullyShardedTrainer(_FullyShardedTrainer):
         state, (losses, violated) = jax.lax.scan(body, state, seeds_all)
         return state, losses, violated
 
-    def step(self, state, seeds):
-        seeds = jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl)
-        state, loss, violated = self._jit_step(
-            state, self.feature_shards, self.adjacency_shards, seeds,
-            self.neg_cdf,
-        )
-        if bool(violated):
-            raise ValueError(
-                "distributed-sampling/gather request capacity exceeded "
-                "this step (walk, frontier, or feature-gather bucket "
-                "overflowed); increase capacity_slack"
-            )
-        return state, loss
+    # step() is inherited: the retry ladder drives _step_impl (dynamic
+    # dispatch reaches this class's _fully_sharded_step) with neg_cdf
+    # threaded through _step_call_args.
+    def _step_call_args(self, seeds):
+        return (self.feature_shards, self.adjacency_shards, seeds,
+                self.neg_cdf)
 
     def _fully_sharded_step(self, state, feature_shards, adj_leaves, seeds,
-                            neg_cdf):
+                            neg_cdf, slack=None):
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         from graphsage_tpu.models.unsupervised import context_group_scores
         from graphsage_tpu.ops.walks import pick_positive_step, sample_from_cdf
         from graphsage_tpu.parallel.feature_store import (
+            _guard_state_update,
             _lead0,
             make_sharded_gather_fns,
             sharded_random_walk,
@@ -488,11 +473,12 @@ class UnsupervisedFullyShardedTrainer(_FullyShardedTrainer):
         adj = self.adjacency
         q = self.cfg.num_negatives
         wl = self.cfg.walk_length
+        slack = self.capacity_slack if slack is None else slack
         next_key, step_key = jax.random.split(state.key)
         k_walk, k_pick, k_neg, k_sample = jax.random.split(step_key, 4)
         gather_fn, gather_mean_fn = make_sharded_gather_fns(
             axis, mode="compact",
-            num_shards=self.mesh.shape[axis], slack=self.capacity_slack,
+            num_shards=self.mesh.shape[axis], slack=slack,
         )
 
         def shard_step(params, shard, adj_local, seeds_local, cdf):
@@ -505,7 +491,7 @@ class UnsupervisedFullyShardedTrainer(_FullyShardedTrainer):
             # owner-folds it); pick/negative keys fold per shard so draws
             # decorrelate across the batch slices.
             walks, valid, violated = sharded_random_walk(
-                axis, adj, *al, seeds_l, wl, k_walk, self.capacity_slack,
+                axis, adj, *al, seeds_l, wl, k_walk, slack,
             )
             pos, pair_mask = pick_positive_step(
                 jax.random.fold_in(k_pick, me), walks, valid, seeds_l
@@ -516,9 +502,11 @@ class UnsupervisedFullyShardedTrainer(_FullyShardedTrainer):
             ).reshape(-1)
             frontier, viol_f = sharded_sample_frontier(
                 axis, model, adj, adj_local, group_seeds, k_sample,
-                self.capacity_slack,
+                slack,
             )
-            violated = violated | viol_f | self._local_sites_violated(frontier)
+            violated = violated | viol_f | self._local_sites_violated(
+                frontier, slack=slack
+            )
             table_fn = self._layer0_table_fn_adj(al)
             den = jnp.maximum(
                 jax.lax.psum(jnp.sum(pair_mask.astype(jnp.float32)), axis),
@@ -558,14 +546,11 @@ class UnsupervisedFullyShardedTrainer(_FullyShardedTrainer):
 
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(
-                params=params, opt_state=opt_state, key=next_key,
-                step=state.step + 1,
-            ),
-            loss,
-            violated,
+        new_state = TrainState(
+            params=params, opt_state=opt_state, key=next_key,
+            step=state.step + 1,
         )
+        return _guard_state_update(violated, state, new_state), loss, violated
 
     # ------------------------------------------------------------------- eval
     def predict(self, state, nodes):
