@@ -114,14 +114,40 @@ def dequantize(qt: QuantizedTable, dtype=jnp.float32) -> jax.Array:
     return (qt.q.astype(jnp.float32) * qt.scale).astype(dtype)
 
 
+# XLA's TPU row gather has a measured table-size cliff (~3.8 ns/row when
+# the operand is <=150-200K rows AND <=100 MB, ~10.4 ns/row beyond — the
+# round-4 sweep, docs/ROOFLINE.md §5.1a). An [N, 1] scale column is tiny in
+# bytes but its ROW count alone puts it in the slow region at large N, so
+# the scale lookup was costing as much as the int8 row gather itself
+# (the 1M-preset int8 step measured 1.39x SLOWER than bf16). Above this
+# threshold the scale gathers through a [N/128, 128] lane view instead:
+# N/128 rows and 4N bytes are both deep inside the fast region, and the
+# lane select is a fused compare-select-reduce (the same trick the CSR
+# sampler uses for edge-id resolution, ops/sampling.py).
+_SCALE_LANE_GATHER_MIN_ROWS = 200_000
+
+
+def _gather_scale(scale: jax.Array, ids: jax.Array) -> jax.Array:
+    """Per-row scales for ``ids[...]`` -> ``[..., 1]`` f32."""
+    n = scale.shape[0]
+    if n < _SCALE_LANE_GATHER_MIN_ROWS:
+        return jnp.take(scale, ids, axis=0)
+    flat = ids.reshape(-1).astype(jnp.int32)
+    lanes = jnp.pad(scale.reshape(-1), (0, (-n) % 128)).reshape(-1, 128)
+    rows = jnp.take(lanes, flat // 128, axis=0)  # [Q, 128] — fast region
+    col = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    s = jnp.sum(jnp.where(col == (flat % 128)[:, None], rows, 0.0), axis=-1)
+    return s.reshape(*ids.shape, 1)
+
+
 def gather_dequant(qt: QuantizedTable, ids: jax.Array, dtype=jnp.float32) -> jax.Array:
     """Row lookup ``dequantize(qt)[ids]`` moving int8 rows through HBM.
 
-    The gather reads 1 byte/element (+4 bytes/row of scale); the cast and
-    multiply fuse into the consumer.
+    The gather reads 1 byte/element (+4 bytes/row of scale, through the
+    lane view at large N); the cast and multiply fuse into the consumer.
     """
     rows = jnp.take(qt.q, ids, axis=0).astype(jnp.float32)
-    s = jnp.take(qt.scale, ids, axis=0)
+    s = _gather_scale(qt.scale, ids)
     return (rows * s).astype(dtype)
 
 
@@ -131,12 +157,18 @@ def gather_mean_dequant(
     """Masked mean of dequantized neighbor rows: ``[B, k]`` ids/mask ->
     ``[B, F]`` f32. The quantized stand-in for
     :func:`graphsage_tpu.ops.aggregate.gather_mean` — the gather moves int8,
-    the mean accumulates in f32 on the VPU.
-    """
-    rows = jnp.take(qt.q, idx, axis=0).astype(jnp.float32)  # [B, k, F]
-    s = jnp.take(qt.scale, idx, axis=0)  # [B, k, 1]
+    the mean accumulates in f32 on the VPU. Unrolled over the (small) k
+    axis so the ``[B, k, F]`` transient never lands in HBM (same shape
+    trade as aggregate.gather_mean's "unrolled" impl)."""
+    k = idx.shape[-1]
+    s = _gather_scale(qt.scale, idx)  # [..., k, 1]
     m = mask.astype(jnp.float32)[..., None]
-    total = jnp.sum(rows * (s * m), axis=-2)
+    w = s * m
+    total = None
+    for j in range(k):
+        rows_j = jnp.take(qt.q, idx[..., j], axis=0).astype(jnp.float32)
+        term = rows_j * w[..., j, :]
+        total = term if total is None else total + term
     count = jnp.sum(m, axis=-2)
     return total / jnp.maximum(count, 1.0)
 

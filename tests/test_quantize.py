@@ -35,6 +35,41 @@ from graphsage_tpu.train.trainer import Trainer
 # --------------------------------------------------------------- primitives
 
 
+def test_scale_lane_gather_matches_take_above_threshold():
+    """At N >= the ROOFLINE §5.1a slow-gather threshold the per-row scale
+    lookup routes through the [N/128, 128] lane view (fast gather region);
+    it must be bit-equal to the plain jnp.take path, including at the
+    padded tail and with repeated ids."""
+    from graphsage_tpu.ops.quantize import (
+        _SCALE_LANE_GATHER_MIN_ROWS,
+        _gather_scale,
+    )
+
+    n = _SCALE_LANE_GATHER_MIN_ROWS + 37  # un-aligned tail exercises the pad
+    rng = np.random.default_rng(3)
+    scale = jnp.asarray(rng.gamma(1.0, 2.0, (n, 1)), jnp.float32)
+    ids = jnp.asarray(
+        np.concatenate([
+            rng.integers(0, n, 4096),
+            [0, n - 1, n - 1, 127, 128, n - 37],  # boundaries + repeats
+        ]),
+        jnp.int32,
+    )
+    got = _gather_scale(scale, ids.reshape(-1, 2))
+    want = jnp.take(scale, ids.reshape(-1, 2), axis=0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # And through the public entry points on a big table.
+    q = jnp.asarray(rng.integers(-127, 128, (n, 8)), jnp.int8)
+    qt = QuantizedTable(q=q, scale=scale)
+    rows = gather_dequant(qt, ids[:64])
+    want_rows = (
+        jnp.take(q, ids[:64], axis=0).astype(jnp.float32)
+        * jnp.take(scale, ids[:64], axis=0)
+    )
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(want_rows),
+                               rtol=0, atol=0)
+
+
 def test_roundtrip_error_bound():
     rng = np.random.default_rng(0)
     x = rng.normal(size=(64, 33)).astype(np.float32) * rng.gamma(1, 5, (64, 1))
