@@ -409,6 +409,18 @@ def main() -> None:
     powerlaw_1m_q = _try_row(lambda: _measure(quantize_graph(graph_1m), model_1m,
                              batch=4096, steps_per_block=50, blocks=2),
                              "powerlaw_1m_int8")
+
+    # Windowed sampling (ops/sampling.py:_windowed_sample): one CSR lane
+    # fetch per parent instead of one per sampled slot — the measured
+    # escape from the deep-hop sampling stage at this scale (ROOFLINE
+    # §5.1a; exact-uniform floyd stays the headline row). Mean-estimator
+    # unbiased; converged loss sits slightly above floyd's (correlated
+    # within-window draws), gated by the same 0.8 floor.
+    import dataclasses as _dc0
+
+    powerlaw_1m_w = _try_row(lambda: _measure(
+        graph_1m, _dc0.replace(model_1m, sampling="windowed"),
+        batch=4096, steps_per_block=50, blocks=2), "powerlaw_1m_windowed")
     del graph_1m
 
     # Full-batch training at the 100K power-law shape — the degree-bucketed
@@ -513,6 +525,7 @@ def main() -> None:
         "reddit_232k_nodes_11m_slots_fanout_10_25": 0.5,    # ln(41)=3.71
         "powerlaw_1m_nodes_20m_slots_3layer": 0.8,          # ln(32)=3.47
         "powerlaw_1m_int8_table": 0.8,
+        "powerlaw_1m_windowed_sampling": 0.8,
         "fullbatch_powerlaw_100k_2m_slots_2layer": 0.8,     # ln(16)=2.77
         "pubmed_layer0_full": 0.2,
         "cora_lstm": 0.5,            # ln(7)=1.95; CPU measured 1e-5 by
@@ -534,6 +547,7 @@ def main() -> None:
         "reddit_232k_nodes_11m_slots_fanout_10_25": reddit,
         "powerlaw_1m_nodes_20m_slots_3layer": powerlaw_1m,
         "powerlaw_1m_int8_table": powerlaw_1m_q,
+        "powerlaw_1m_windowed_sampling": powerlaw_1m_w,
         "fullbatch_powerlaw_100k_2m_slots_2layer": fullbatch,
         "pubmed_layer0_full": pubmed_l0,
         "cora_lstm": cora_lstm,

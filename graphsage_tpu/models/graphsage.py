@@ -165,6 +165,21 @@ class GraphSAGE:
     # (every dot >= 0, so the Q negative terms dominate and the cheapest
     # descent is z -> 0; test-pinned). Supervised training keeps "relu".
     final_activation: str = "relu"
+    # Neighbor-sampling mechanism (ops/sampling.py):
+    #   "floyd"    — exact uniform k-subsets (reference semantics, Q8);
+    #   "topk"     — same semantics via key sort (ELL-only oracle);
+    #   "windowed" — one 128-lane CSR row fetch per PARENT instead of one
+    #     per sampled slot: pick the lane window containing a uniform
+    #     element (P(window) ∝ its size), then sample without replacement
+    #     WITHIN it. The masked-MEAN aggregation stays exactly unbiased
+    #     (E[window mean] telescopes to the full neighbor mean) and
+    #     per-element marginals are the uniform k/d whenever every window
+    #     holds ≥ k elements; the joint is window-correlated — a
+    #     documented semantics trade for ~2.5x cheaper deep-hop sampling
+    #     on hub-capped graphs (docs/ROOFLINE.md §5.1a; the 1M preset's
+    #     21.7 ms sampling stage). Not supported by the distributed
+    #     owner-side sampler (FullyShardedTrainer) — exact floyd only.
+    sampling: str = "floyd"
 
     def __post_init__(self):
         if len(self.hidden_dims) != len(self.fanouts):
@@ -184,6 +199,8 @@ class GraphSAGE:
             raise ValueError(
                 f"unknown final_activation {self.final_activation!r}"
             )
+        if self.sampling not in ("floyd", "topk", "windowed"):
+            raise ValueError(f"unknown sampling method {self.sampling!r}")
 
     @property
     def num_layers(self) -> int:
@@ -325,6 +342,7 @@ class GraphSAGE:
             parent_ids, parent_mask = ids[-1], masks[-1]
             nids, nmask = sample_neighbors(
                 hop_keys[h - 1], graph.neighbors, graph.degrees, parent_ids, fanout,
+                method=self.sampling,
                 indptr=graph.indptr, edge_dst=graph.edge_dst,
                 ell_covers_all=graph.ell_covers_all,
             )

@@ -16,7 +16,10 @@ Semantics are pinned to the reference's (SURVEY.md quirk Q8):
   (``sum / max(count, 1)``) instead of reproducing the reference's 0/0 NaN
   (quirk Q4 — an intentional, documented divergence).
 
-Two mechanisms, selectable via ``method``:
+Three mechanisms, selectable via ``method`` ("floyd"/"topk" are exact
+uniform k-subsets; "windowed" — ``_windowed_sample`` — trades the joint
+distribution for one CSR lane fetch per parent, keeping the masked-mean
+aggregation exactly unbiased):
 
 * ``"floyd"`` (default) — vectorized Floyd's subset-sampling: ``k`` rounds,
   each drawing one slot index from a growing range with a duplicate-fallback,
@@ -88,6 +91,76 @@ def _floyd_slots(
     return slots, mask
 
 
+def _windowed_sample(
+    key: jax.Array,
+    degrees: jax.Array,
+    indptr: jax.Array,
+    edge_dst: jax.Array,
+    nodes: jax.Array,
+    fanout: int,
+    lane: int = 128,
+) -> tuple[jax.Array, jax.Array]:
+    """One 128-lane CSR row fetch per PARENT (vs one per sampled slot).
+
+    Mechanism: draw one uniform element ``u ~ U[0, d)`` per parent, take
+    the lane-row window of ``edge_dst`` containing position ``indptr+u``
+    (so a window is chosen with probability proportional to how many of
+    the parent's neighbors it holds), then Floyd-sample up to ``fanout``
+    slots without replacement WITHIN that window. The gather then fetches
+    exactly one 512-byte lane row per parent — ~k× fewer row fetches than
+    the exact per-slot path, which dominates deep-hop sampling cost on
+    hub-capped graphs (docs/ROOFLINE.md §5.1a).
+
+    Statistics (the documented semantics trade vs exact uniform k-subsets):
+
+    * the masked-MEAN aggregation stays exactly unbiased for ANY window
+      partition: ``E[mean(sample | w)] = mean(w)`` and windows are chosen
+      with P(w) = |w|/d, so ``E[estimate] = Σ_w (|w|/d)·mean(w)`` = the
+      full neighbor mean (test-pinned statistically);
+    * per-element marginals equal the uniform ``min(fanout, |w_e|)/d`` —
+      exactly ``fanout/d`` whenever every window holds ≥ fanout elements
+      (always true for the 128-wide inner windows at fanout ≤ 128);
+    * the joint is window-correlated (all draws share one window), unlike
+      the exact sampler — max/LSTM aggregations see a narrower slice per
+      step (fresh window per parent per step).
+
+    Valid-draw count is ``min(fanout, |window|)`` (the masked-mean
+    denominator), zero-degree parents come back fully masked.
+    """
+    d = degrees[nodes].astype(jnp.int32)
+    base = indptr[nodes].astype(jnp.int32)
+    k_u, k_f = jax.random.split(key)
+    u = jnp.minimum(
+        (jax.random.uniform(k_u, d.shape) * d.astype(jnp.float32)).astype(
+            jnp.int32
+        ),
+        jnp.maximum(d - 1, 0),
+    )
+    r = (base + u) // lane
+    lo = jnp.maximum(r * lane, base)
+    hi = jnp.minimum(r * lane + lane, base + d)
+    m = jnp.maximum(hi - lo, 0)
+    slots, mask = _floyd_slots(k_f, m, fanout)
+    mask = mask & (d > 0)[..., None]
+    # Lane index of each sampled slot within the fetched row (< 128 for
+    # every valid slot: lo-r·lane + slot < hi-r·lane <= lane).
+    lane_idx = (lo - r * lane)[..., None] + slots
+    e_pad = edge_dst.shape[0]
+    rows_table = jnp.pad(edge_dst, (0, (-e_pad) % lane)).reshape(-1, lane)
+    rows = rows_table[r]  # [..., lane] — ONE row fetch per parent
+    col = jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1)
+    ids = jnp.stack(
+        [
+            jnp.sum(
+                jnp.where(col == lane_idx[..., j : j + 1], rows, 0), axis=-1
+            )
+            for j in range(fanout)
+        ],
+        axis=-1,
+    )
+    return ids.astype(jnp.int32), mask
+
+
 def sample_neighbors(
     key: jax.Array,
     neighbors: jax.Array,
@@ -125,6 +198,11 @@ def sample_neighbors(
                 "below the max degree — use the CSR full-graph forward instead"
             )
         return full_neighbors(neighbors, degrees, nodes)
+
+    if method == "windowed":
+        if indptr is None or edge_dst is None:
+            raise ValueError("windowed sampling requires indptr and edge_dst")
+        return _windowed_sample(key, degrees, indptr, edge_dst, nodes, fanout)
 
     max_deg = neighbors.shape[-1]
 

@@ -1570,6 +1570,13 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
                  capacity_slack: float = 1.5,
                  layer0_exchange: str = "allgather",
                  feature_store: NodeShardedFeatures | None = None):
+        if model.sampling != "floyd":
+            raise ValueError(
+                "FullyShardedTrainer's distributed owner-side sampler is "
+                f"exact floyd only; sampling={model.sampling!r} is a "
+                "single-table mode (use ShardedFeatureTrainer, whose "
+                "replicated sampling supports it)"
+            )
         super().__init__(
             model, graph, config, mesh, axis=axis,
             gather_mode="compact", capacity_slack=capacity_slack,

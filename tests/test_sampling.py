@@ -195,3 +195,134 @@ def test_capped_ell_full_neighbors_raises():
             jax.random.PRNGKey(0), g.neighbors, g.degrees,
             jnp.zeros((4,), jnp.int32), None, ell_covers_all=False,
         )
+
+
+# ------------------------------------------------------------- windowed
+
+
+def _star_graph(hub_deg, ell_width_cap=16):
+    from graphsage_tpu.data.graph import build_graph
+
+    edges = np.array([[0, i] for i in range(1, hub_deg + 1)])
+    feats = np.zeros((hub_deg + 1, 4), np.float32)
+    return build_graph(feats, np.zeros(hub_deg + 1), edges, num_classes=1,
+                       ell_width_cap=ell_width_cap)
+
+
+def test_windowed_uniform_marginals_across_windows():
+    """Windowed sampling: P(window) ∝ |window| then uniform-without-
+    replacement within it gives every neighbor the exact k/d marginal
+    whenever all windows hold >= k elements — including the partial edge
+    windows of a 300-degree hub (300 = 2 full 128-lane windows + a 44-
+    element remnant, window boundaries NOT aligned to the row start)."""
+    hub_deg, k = 300, 4
+    g = _star_graph(hub_deg)
+    counts = np.zeros(hub_deg + 1)
+    nodes = jnp.zeros((64,), jnp.int32)
+    draws = 120
+    for t in range(draws):
+        ids, mask = sample_neighbors(
+            jax.random.PRNGKey(t), g.neighbors, g.degrees, nodes, k,
+            method="windowed",
+            indptr=g.indptr, edge_dst=g.edge_dst, ell_covers_all=False,
+        )
+        ids, mask = np.asarray(ids), np.asarray(mask)
+        assert mask.all()  # every window of a 300-degree row holds >= 4
+        for row in ids:
+            assert len(set(row.tolist())) == k  # without replacement
+            assert set(row.tolist()) <= set(range(1, hub_deg + 1))
+        np.add.at(counts, ids.reshape(-1), 1)
+    assert counts[0] == 0
+    rel = counts[1:] / counts[1:].mean()
+    # 64*120 = 7680 requests x 4 draws; expected count ~102 per neighbor.
+    assert rel.min() > 0.6 and rel.max() < 1.4
+
+
+def test_windowed_mean_estimator_unbiased_with_tiny_edge_window():
+    """The masked-MEAN estimator is unbiased for ANY window partition —
+    even when an edge window holds FEWER than k elements (drawn count
+    min(k, |w|) is the denominator). Degree 130 leaves windows that can
+    be as small as 2 elements after the row-start offset."""
+    hub_deg, k = 130, 8
+    g = _star_graph(hub_deg)
+    # Feature of neighbor i is i (scalar); true neighbor mean is known.
+    feats = np.zeros((hub_deg + 1, 1), np.float32)
+    feats[1:, 0] = np.arange(1, hub_deg + 1)
+    true_mean = feats[1:, 0].mean()
+    nodes = jnp.zeros((128,), jnp.int32)
+    est = []
+    for t in range(150):
+        ids, mask = sample_neighbors(
+            jax.random.PRNGKey(1000 + t), g.neighbors, g.degrees, nodes, k,
+            method="windowed",
+            indptr=g.indptr, edge_dst=g.edge_dst, ell_covers_all=False,
+        )
+        ids, mask = np.asarray(ids), np.asarray(mask)
+        cnt = mask.sum(axis=1)
+        assert (cnt >= 1).all() and (cnt <= k).all()
+        vals = feats[ids, 0] * mask
+        est.append((vals.sum(axis=1) / cnt).mean())
+    est = np.asarray(est)
+    se = est.std() / np.sqrt(len(est))
+    assert abs(est.mean() - true_mean) < 4 * se + 1e-6, (
+        est.mean(), true_mean, se,
+    )
+
+
+def test_windowed_zero_degree_and_shapes():
+    g = _star_graph(40)
+    # Node 5 is a leaf in the DIRECTED sense? build_graph mirrors edges, so
+    # use an isolated extra node instead.
+    from graphsage_tpu.data.graph import build_graph
+
+    edges = np.array([[0, 1], [0, 2]])
+    g2 = build_graph(np.zeros((5, 4), np.float32), np.zeros(5), edges,
+                     num_classes=1, ell_width_cap=2)
+    ids, mask = sample_neighbors(
+        jax.random.PRNGKey(0), g2.neighbors, g2.degrees,
+        jnp.asarray([3, 4], jnp.int32), 3, method="windowed",
+        indptr=g2.indptr, edge_dst=g2.edge_dst,
+        ell_covers_all=g2.ell_covers_all,
+    )
+    assert ids.shape == (2, 3) and mask.shape == (2, 3)
+    assert not np.asarray(mask).any()  # both isolated -> fully masked
+
+
+def test_windowed_model_trains():
+    """GraphSAGE(sampling='windowed') end to end: loss decreases on the
+    homophilous synthetic graph, predictions shaped right."""
+    from graphsage_tpu.data.synthetic import power_law_graph
+    from graphsage_tpu.models.graphsage import GraphSAGE
+    from graphsage_tpu.train.config import TrainConfig
+    from graphsage_tpu.train.trainer import Trainer
+
+    g = power_law_graph(num_nodes=400, num_edges=2000, num_feats=16,
+                        num_classes=4, seed=3, homophily=0.8)
+    model = GraphSAGE(in_dim=16, num_classes=4, hidden_dims=(16, 16),
+                      fanouts=(4, 4), sampling="windowed")
+    res = Trainer(model, g, TrainConfig(
+        batch_size=64, num_steps=40, learning_rate=0.5, log_every=0,
+        test_size=60, val_size=40,
+    )).run(log=None)
+    losses = np.asarray(res["losses"])
+    assert np.isfinite(losses).all()
+    assert losses[-5:].mean() < losses[:5].mean() * 0.7
+
+
+def test_windowed_rejected_by_fully_sharded_trainer():
+    from graphsage_tpu.data.synthetic import power_law_graph
+    from graphsage_tpu.models.graphsage import GraphSAGE
+    from graphsage_tpu.parallel.feature_store import FullyShardedTrainer
+    from graphsage_tpu.parallel.mesh import make_mesh
+    from graphsage_tpu.train.config import TrainConfig
+
+    g = power_law_graph(num_nodes=200, num_edges=800, num_feats=8,
+                        num_classes=2, seed=0)
+    model = GraphSAGE(in_dim=8, num_classes=2, hidden_dims=(8, 8),
+                      fanouts=(3, 3), sampling="windowed")
+    with pytest.raises(ValueError, match="floyd only"):
+        FullyShardedTrainer(
+            model, g, TrainConfig(batch_size=32, num_steps=1, test_size=40,
+                                  val_size=40, log_every=0),
+            make_mesh({"data": 8}),
+        )
