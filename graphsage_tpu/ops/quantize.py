@@ -157,19 +157,25 @@ def gather_mean_dequant(
     """Masked mean of dequantized neighbor rows: ``[B, k]`` ids/mask ->
     ``[B, F]`` f32. The quantized stand-in for
     :func:`graphsage_tpu.ops.aggregate.gather_mean` — the gather moves int8,
-    the mean accumulates in f32 on the VPU. Unrolled over the (small) k
-    axis so the ``[B, k, F]`` transient never lands in HBM (same shape
-    trade as aggregate.gather_mean's "unrolled" impl)."""
+    the mean accumulates in f32 on the VPU. Small fanouts unroll over k so
+    the ``[B, k, F]`` transient never lands in HBM; wide k (the
+    fanout=None / covering-eval paths, where k is the ELL width) keeps the
+    single batched gather — hundreds of sequential unrolled gathers would
+    bloat the HLO and serialize (same k <= 32 gate as
+    aggregate.gather_mean's "auto" dispatch)."""
     k = idx.shape[-1]
     s = _gather_scale(qt.scale, idx)  # [..., k, 1]
     m = mask.astype(jnp.float32)[..., None]
     w = s * m
+    count = jnp.sum(m, axis=-2)
+    if k > 32:
+        rows = jnp.take(qt.q, idx, axis=0).astype(jnp.float32)  # [B, k, F]
+        return jnp.sum(rows * w, axis=-2) / jnp.maximum(count, 1.0)
     total = None
     for j in range(k):
         rows_j = jnp.take(qt.q, idx[..., j], axis=0).astype(jnp.float32)
         term = rows_j * w[..., j, :]
         total = term if total is None else total + term
-    count = jnp.sum(m, axis=-2)
     return total / jnp.maximum(count, 1.0)
 
 

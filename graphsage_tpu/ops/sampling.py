@@ -91,6 +91,19 @@ def _floyd_slots(
     return slots, mask
 
 
+_LANE = 128
+
+
+def _edge_lane_table(edge_dst: jax.Array) -> jax.Array:
+    """``edge_dst`` viewed as 128-lane rows ``[ceil(E/128), 128]`` — the
+    shared fetch unit of the CSR samplers (one row read per resolved
+    element in the exact path, one per parent in the windowed path).
+    ``build_graph`` pads edge arrays to a 128 multiple by default, so the
+    pad is normally a no-op XLA elides."""
+    e_pad = edge_dst.shape[0]
+    return jnp.pad(edge_dst, (0, (-e_pad) % _LANE)).reshape(-1, _LANE)
+
+
 def _windowed_sample(
     key: jax.Array,
     degrees: jax.Array,
@@ -98,7 +111,6 @@ def _windowed_sample(
     edge_dst: jax.Array,
     nodes: jax.Array,
     fanout: int,
-    lane: int = 128,
 ) -> tuple[jax.Array, jax.Array]:
     """One 128-lane CSR row fetch per PARENT (vs one per sampled slot).
 
@@ -136,18 +148,16 @@ def _windowed_sample(
         ),
         jnp.maximum(d - 1, 0),
     )
-    r = (base + u) // lane
-    lo = jnp.maximum(r * lane, base)
-    hi = jnp.minimum(r * lane + lane, base + d)
+    r = (base + u) // _LANE
+    lo = jnp.maximum(r * _LANE, base)
+    hi = jnp.minimum(r * _LANE + _LANE, base + d)
     m = jnp.maximum(hi - lo, 0)
     slots, mask = _floyd_slots(k_f, m, fanout)
     mask = mask & (d > 0)[..., None]
     # Lane index of each sampled slot within the fetched row (< 128 for
-    # every valid slot: lo-r·lane + slot < hi-r·lane <= lane).
-    lane_idx = (lo - r * lane)[..., None] + slots
-    e_pad = edge_dst.shape[0]
-    rows_table = jnp.pad(edge_dst, (0, (-e_pad) % lane)).reshape(-1, lane)
-    rows = rows_table[r]  # [..., lane] — ONE row fetch per parent
+    # every valid slot: lo-r·_LANE + slot < hi-r·_LANE <= _LANE).
+    lane_idx = (lo - r * _LANE)[..., None] + slots
+    rows = _edge_lane_table(edge_dst)[r]  # ONE row fetch per parent
     col = jax.lax.broadcasted_iota(jnp.int32, rows.shape, rows.ndim - 1)
     ids = jnp.stack(
         [
@@ -221,16 +231,11 @@ def sample_neighbors(
         # table costs ~20 ns/element (2.1 ms at the 1M-node config's 102K
         # samples); reading the 128-lane row containing each element and
         # reducing it with a compare mask is ~7x faster.
-        lane = jnp.int32(128)
-        e_pad = edge_dst.shape[0]
-        rows_table = jnp.pad(
-            edge_dst, (0, (-e_pad) % 128)
-        ).reshape(-1, 128)
         flat1 = flat.reshape(-1)
-        rows = rows_table[flat1 // lane]  # [B*k, 128]
+        rows = _edge_lane_table(edge_dst)[flat1 // _LANE]  # [B*k, 128]
         col = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
         ids = jnp.sum(
-            jnp.where(col == (flat1 % lane)[:, None], rows, 0), axis=-1
+            jnp.where(col == (flat1 % _LANE)[:, None], rows, 0), axis=-1
         ).reshape(slots.shape)
         return ids.astype(jnp.int32), mask
 

@@ -1107,9 +1107,12 @@ class ShardedFeatureTrainer(Trainer):
         ``(feature_shards, graph_nofeat, edge_slice_leaves)`` from
         ``_block_payload``.
 
-        Capacity violations ride out as the per-step bool lane so ``run()``
-        raises with the exact step index — a violated step's loss is still
-        the clipped-rows value, but the run aborts before acting on it.
+        Capacity violations ride out as the per-step bool lane; a violated
+        step is a NO-OP on the carried state (``_guard_state_update``), so
+        ``run()`` warns with the violated indices and redoes those batches
+        through the doubled-slack retry ladder instead of aborting (only
+        ladder exhaustion raises). A violated slot's recorded loss is the
+        clipped-rows value until the redo overwrites it.
         """
         feature_shards, graph, edge_leaves = payload
 
@@ -1785,7 +1788,10 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
         import warnings
 
         seeds_dev = jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl)
-        slacks = [float(self.capacity_slack) * (2.0 ** i) for i in range(4)]
+        slacks = [
+            float(self.capacity_slack) * (2.0 ** i)
+            for i in range(self._SLACK_RETRIES)
+        ]
         for i, slack in enumerate(slacks):
             cache_key = (slack, return_embeddings)
             fn = self._jit_eval_fs.get(cache_key)
