@@ -458,9 +458,13 @@ def sharded_row_gather(
 class _RouteCtx(NamedTuple):
     """Sort bookkeeping of one request-routing round (static shapes)."""
 
-    sorted_owner: jax.Array  # [q]
-    slot: jax.Array  # [q] bucket slot of each sorted request
-    inv: jax.Array  # [q] inverse of the owner sort
+    # Composed answer-restore index: row i of the original request order
+    # lives at flat bucket position take[i] of the answered [S, capacity]
+    # array — ONE row gather restores order instead of the two sequential
+    # ones (bucket lookup THEN inverse-sort) the naive form pays; gathers
+    # are per-row-overhead-bound (docs/ROOFLINE.md §5.1a), so each saved
+    # pass is ~10 ns per request row.
+    take: jax.Array  # [q] = (sorted_owner * capacity + slot)[inv]
     violated: jax.Array  # [] bool — some bucket overflowed its capacity
 
 
@@ -471,42 +475,49 @@ def _route_requests(
     capacity: int,
     valid_mask: jax.Array | None = None,
 ) -> tuple[jax.Array, _RouteCtx]:
-    """Sort requests by owner into per-pair buckets of static ``capacity``
-    and all_to_all them to their owners. Returns ``(recv_req [S, capacity],
-    ctx)`` — ``recv_req[d]`` holds peer ``d``'s requests for OUR rows.
-    Masked/padded ids spread round-robin across owners so they cannot pile
-    onto shard 0; overflow sets ``ctx.violated`` (rows would be clipped)."""
+    """Bucket requests by owner into per-pair buckets of static
+    ``capacity`` and all_to_all them to their owners. Returns
+    ``(recv_req [S, capacity], ctx)`` — ``recv_req[d]`` holds peer ``d``'s
+    requests for OUR rows. Masked/padded ids spread round-robin across
+    owners so they cannot pile onto shard 0; overflow sets ``ctx.violated``
+    (rows would be clipped).
+
+    Bucketing is a counting rank, not a sort: each request's slot is the
+    number of EARLIER same-owner requests (one ``[q, S]`` one-hot cumsum),
+    computed in original order — no argsort / searchsorted / inverse
+    permutation. The owner alphabet is tiny (S shards), so the cumsum
+    streams where the stable sort paid ~log²(q) compare passes; with the
+    composed-index answer restore (``_RouteCtx.take``) this took the Cora
+    compact step 2.50 -> 2.11 ms and the fully sharded step 2.77 -> 2.30
+    ms on the chip, losses bit-identical (docs/ROOFLINE.md §4)."""
     q = flat_ids.shape[0]
     s = jax.lax.axis_size(axis)
     if valid_mask is not None:
         spread = (jnp.arange(q, dtype=jnp.int32) % s) * rows_per_shard
         flat_ids = jnp.where(valid_mask.reshape(-1), flat_ids, spread)
-    owner = flat_ids // rows_per_shard
-    order = jnp.argsort(owner, stable=True)
-    sorted_owner = owner[order]
-    starts = jnp.searchsorted(sorted_owner, jnp.arange(s, dtype=owner.dtype))
-    rank = jnp.arange(q) - starts[sorted_owner]
+    owner = (flat_ids // rows_per_shard).astype(jnp.int32)
+    onehot = owner[:, None] == jnp.arange(s, dtype=jnp.int32)[None, :]
+    within = jnp.cumsum(onehot.astype(jnp.int32), axis=0)
+    rank = jnp.take_along_axis(within, owner[:, None], axis=1)[:, 0] - 1
     violated = (rank >= capacity).any()
     slot = jnp.clip(rank, 0, capacity - 1)
-    req = jnp.zeros((s, capacity), jnp.int32).at[sorted_owner, slot].set(
-        flat_ids[order]
-    )
+    req = jnp.zeros((s, capacity), jnp.int32).at[owner, slot].set(flat_ids)
     recv_req = jax.lax.all_to_all(
         req[:, :, None], axis, split_axis=0, concat_axis=0, tiled=False
     )[..., 0]
-    return recv_req, _RouteCtx(
-        sorted_owner=sorted_owner, slot=slot, inv=jnp.argsort(order),
-        violated=violated,
-    )
+    return recv_req, _RouteCtx(take=owner * capacity + slot,
+                               violated=violated)
 
 
 def _route_answers(axis: str, answers: jax.Array, ctx: _RouteCtx) -> jax.Array:
     """Ship per-request answers ``[S, capacity, ...]`` back to the
-    requesters and restore original request order -> ``[q, ...]``."""
+    requesters and restore original request order -> ``[q, ...]`` with the
+    single composed-index gather (see _RouteCtx.take)."""
     got = jax.lax.all_to_all(
         answers, axis, split_axis=0, concat_axis=0, tiled=False
     )
-    return got[ctx.sorted_owner, ctx.slot][ctx.inv]
+    s, cap = got.shape[0], got.shape[1]
+    return jnp.take(got.reshape(s * cap, *got.shape[2:]), ctx.take, axis=0)
 
 
 def sharded_row_gather_compact(
