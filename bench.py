@@ -104,27 +104,17 @@ def _measure_sharded(graph, model, batch, steps_per_block, blocks, mode,
     cfg = TrainConfig(batch_size=batch, num_steps=1, log_every=0)
     if mode == "fully":
         tr = FullyShardedTrainer(model, graph, cfg, mesh, capacity_slack=slack)
-
-        def block(state, fs, adj, seeds_all):
-            def body(st, seeds):
-                st, loss, _ = tr._fully_sharded_step(st, fs, adj, seeds)
-                return st, loss
-
-            return jax.lax.scan(body, state, seeds_all)
-
-        args = (tr.feature_shards, tr.adjacency_shards)
     else:
         tr = ShardedFeatureTrainer(model, graph, cfg, mesh, gather_mode=mode,
                                    capacity_slack=slack)
 
-        def block(state, fs, g, el, seeds_all):
-            def body(st, seeds):
-                st, loss, _ = tr._sharded_step(st, fs, g, el, seeds)
-                return st, loss
+    # The trainer's own scanned block, payload threaded as jit ARGS (the
+    # same dispatch run() uses — signature-proof against step-arg changes).
+    def block(state, payload, seeds_all):
+        state, losses, _violated = tr._train_block(state, payload, seeds_all)
+        return state, losses
 
-            return jax.lax.scan(body, state, seeds_all)
-
-        args = (tr.feature_shards, tr._graph_nofeat, tr.edge_slice_leaves)
+    args = (tr._block_payload(),)
 
     frontier = model.sample(jax.random.PRNGKey(0), graph,
                             jnp.zeros(batch, jnp.int32))

@@ -36,6 +36,7 @@ from graphsage_tpu.parallel.distributed import ShardedTrainer
 from graphsage_tpu.parallel.feature_store import (
     FullyShardedTrainer,
     ShardedFeatureTrainer,
+    build_hub_cache,
     shard_features_from_loader,
     sharded_comm_stats,
 )
@@ -86,6 +87,7 @@ __all__ = [
     "FullGraphTrainer",
     "ShardedTrainer",
     "ShardedFeatureTrainer",
+    "build_hub_cache",
     "FullyShardedTrainer",
     "sharded_comm_stats",
     "auto_partition_plan",

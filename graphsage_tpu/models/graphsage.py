@@ -177,8 +177,9 @@ class GraphSAGE:
     #     holds ≥ k elements; the joint is window-correlated — a
     #     documented semantics trade for ~2.5x cheaper deep-hop sampling
     #     on hub-capped graphs (docs/ROOFLINE.md §5.1a; the 1M preset's
-    #     21.7 ms sampling stage). Not supported by the distributed
-    #     owner-side sampler (FullyShardedTrainer) — exact floyd only.
+    #     21.7 ms sampling stage). Works through the distributed
+    #     owner-side sampler too (the local CSR slice carries global ids);
+    #     "topk" is ELL-only and rejected by the fully sharded trainer.
     sampling: str = "floyd"
 
     def __post_init__(self):

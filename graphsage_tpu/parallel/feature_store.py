@@ -736,6 +736,75 @@ def sharded_comm_stats(
     return out
 
 
+def build_hub_cache(features, degrees, num_hub_rows: int):
+    """Frozen hub cache: the ``num_hub_rows`` highest-degree nodes' feature
+    rows, replicated on every chip.
+
+    Power-law frontiers request rows proportionally to degree, so a few
+    hub rows dominate every chip's request list — they are what overflows
+    the compact exchange's per-pair capacity on skewed batches (the
+    unsupervised degree^0.75 negatives need slack 4.0 for exactly this
+    reason). The feature table is FROZEN (reference model.py:70-71), so
+    replicating the hot rows once at build time is exact forever: hub
+    requests resolve locally and never enter the routed buckets, bounding
+    the residual skew structurally instead of via slack.
+
+    Returns ``(lookup, rows)``: ``lookup[N]`` int32 maps node id -> hub
+    rank (or -1), ``rows[H, F]`` carries the cached values in the routed
+    gather's output representation (the table dtype; dequantized f32 for
+    int8 tables — bit-identical to what the compact exchange would have
+    returned). Host numpy in/out; the trainer places both replicated.
+    """
+    deg = np.asarray(degrees)
+    n = deg.shape[0]
+    h = int(num_hub_rows)
+    if not 0 < h <= n:
+        raise ValueError(f"num_hub_rows must be in (0, {n}], got {h}")
+    top = np.argsort(-deg, kind="stable")[:h].astype(np.int32)
+    lookup = np.full(n, -1, np.int32)
+    lookup[top] = np.arange(h, dtype=np.int32)
+    if is_quantized(features):
+        rows = (
+            np.asarray(features.q)[top].astype(np.float32)
+            * np.asarray(features.scale)[top]
+        )
+    else:
+        rows = np.asarray(features)[top]
+    return lookup, rows
+
+
+def _hub_wrap_gather_fns(gather_fn, gather_mean_fn, hub):
+    """Resolve hub-cached rows locally; only the residual requests route.
+
+    Hub slots enter the routed gather as INVALID (they spread round-robin
+    with the padding, never counting toward any owner's bucket), and their
+    garbage answers are overwritten from the replicated cache. Exact: the
+    cache holds the same values the exchange would return (frozen table).
+    """
+    if not hub:
+        return gather_fn, gather_mean_fn
+    lookup, rows_tab = hub
+
+    def resolve(table_local, ids, valid):
+        rank = jnp.take(lookup, ids, axis=0)
+        is_hub = rank >= 0
+        routed = gather_fn(
+            table_local, ids, valid & ~is_hub if valid is not None
+            else ~is_hub,
+        )
+        cached = jnp.take(rows_tab, jnp.clip(rank, 0), axis=0)
+        return jnp.where(is_hub[..., None], cached.astype(routed.dtype),
+                         routed)
+
+    def hub_gather(table_local, ids, mask=None):
+        return resolve(table_local, ids, mask)
+
+    def hub_gather_mean(table_local, ids, mask):
+        return masked_mean(resolve(table_local, ids, mask), mask)
+
+    return hub_gather, hub_gather_mean
+
+
 def make_sharded_gather_fns(
     axis: str,
     mode: str = "dense",
@@ -830,6 +899,7 @@ class ShardedFeatureTrainer(Trainer):
         layer0_exchange: str = "allgather",
         layer0_halo_kwargs: dict | None = None,
         feature_store: NodeShardedFeatures | None = None,
+        hub_cache_rows: int = 0,
     ):
         if gather_mode not in ("dense", "compact"):
             raise ValueError(f"unknown gather_mode {gather_mode!r}")
@@ -932,6 +1002,43 @@ class ShardedFeatureTrainer(Trainer):
         else:
             self.edge_slices = None
             self.edge_slice_leaves = ()
+        # Frozen hub cache (round 4): replicate the top-degree rows so
+        # hub-skewed requests resolve locally instead of overflowing
+        # compact buckets (see build_hub_cache). Only valid where gathers
+        # read the RAW frozen table — project-first and layer0="full"
+        # gather from params-DEPENDENT tables a frozen cache cannot track.
+        self.hub_cache_rows = int(hub_cache_rows)
+        if self.hub_cache_rows:
+            if gather_mode != "compact":
+                raise ValueError(
+                    "hub_cache_rows only affects the compact exchange "
+                    "(the dense psum_scatter is exact for any skew)"
+                )
+            if self._external_store:
+                raise ValueError(
+                    "hub_cache_rows needs the full feature table; this "
+                    "trainer was built from a loader feature_store"
+                )
+            if model.layer0 == "full" or model.injected_layer0_project_first(
+                is_quantized(self._source_graph.features)
+            ):
+                raise ValueError(
+                    "hub_cache_rows requires the raw-feature gather path: "
+                    "the injected project-first and layer0='full' modes "
+                    "gather from params-dependent tables a frozen hub "
+                    "cache cannot track (set project_first=False or skip "
+                    "the cache)"
+                )
+            lookup, rows = build_hub_cache(
+                self._source_graph.features, self._source_graph.degrees,
+                self.hub_cache_rows,
+            )
+            self.hub_leaves = (
+                jax.device_put(jnp.asarray(lookup), self._repl),
+                jax.device_put(jnp.asarray(rows), self._repl),
+            )
+        else:
+            self.hub_leaves = ()
         # Jitted steps cache, keyed by capacity slack (a static trace
         # constant): the overflow retry ladder recompiles at doubled slack
         # instead of killing the run (round-3 VERDICT item 4).
@@ -954,14 +1061,16 @@ class ShardedFeatureTrainer(Trainer):
         uses different fanouts)."""
         return compact_sites(model if model is not None else self.model, frontier)
 
-    def _local_sites_violated(self, frontier, model=None, slack=None):
+    def _local_sites_violated(self, frontier, model=None, slack=None,
+                              hub_lookup=None):
         """True when any table-lookup call site of THIS shard's frontier
         exceeds its static compact capacity (rows would clip => abort).
         Call inside shard_map with the shard-local frontier — the sites and
         the mask-spread handling mirror the compact gather fns exactly
         (``_compact_sites`` is the single source of both). ``slack``
         overrides the trainer's capacity_slack (eval retries recompile at a
-        larger slack)."""
+        larger slack); ``hub_lookup`` excludes hub-cached requests exactly
+        as ``_hub_wrap_gather_fns`` masks them out of routing."""
         s = self.mesh.shape[self.axis]
         np_ = self.features.rows_per_shard
         slack = self.capacity_slack if slack is None else slack
@@ -970,9 +1079,13 @@ class ShardedFeatureTrainer(Trainer):
             q_l = ids.size
             cap = request_capacity(q_l, s, slack)
             flat = ids.reshape(-1).astype(jnp.int32)
-            if mask is not None:
+            valid = None if mask is None else mask.reshape(-1)
+            if hub_lookup is not None:
+                not_hub = jnp.take(hub_lookup, flat, axis=0) < 0
+                valid = not_hub if valid is None else valid & not_hub
+            if valid is not None:
                 spread = (jnp.arange(q_l, dtype=jnp.int32) % s) * np_
-                flat = jnp.where(mask.reshape(-1), flat, spread)
+                flat = jnp.where(valid, flat, spread)
             owner = flat // np_
             cnt = (owner[:, None] == jnp.arange(s)[None, :]).sum(axis=0)
             violated = violated | (cnt.max() > cap)
@@ -1036,8 +1149,8 @@ class ShardedFeatureTrainer(Trainer):
         return lambda p, feats: model.layer0_full_table(p, feats, segmax=segmax)
 
     # ------------------------------------------------------------------ step
-    def _sharded_step(self, state, feature_shards, graph, edge_leaves, seeds,
-                      slack=None):
+    def _sharded_step(self, state, feature_shards, hub, graph, edge_leaves,
+                      seeds, slack=None):
         model = self.model
         axis = self.axis
         slack = self.capacity_slack if slack is None else slack
@@ -1050,11 +1163,17 @@ class ShardedFeatureTrainer(Trainer):
             num_shards=self.mesh.shape[axis], slack=slack,
         )
 
-        def shard_step(params, shard, edge_local, f_ids, f_masks, labels_local):
+        def shard_step(params, shard, hub_l, edge_local, f_ids, f_masks,
+                       labels_local):
             shard_l = _lead0(shard)
             local = Frontier(ids=f_ids, masks=f_masks)
+            g_fn, gm_fn = _hub_wrap_gather_fns(gather_fn, gather_mean_fn,
+                                               hub_l)
             violated = (
-                self._local_sites_violated(local, slack=slack)
+                self._local_sites_violated(
+                    local, slack=slack,
+                    hub_lookup=hub_l[0] if hub_l else None,
+                )
                 if self.gather_mode == "compact"
                 else jnp.zeros((), bool)
             )
@@ -1067,7 +1186,7 @@ class ShardedFeatureTrainer(Trainer):
             def loss_fn(p):
                 return model.loss(
                     p, shard_l, local, labels_local,
-                    gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
+                    gather_fn=g_fn, gather_mean_fn=gm_fn,
                     layer0_table=(
                         table_fn(p, shard_l) if table_fn is not None else None
                     ),
@@ -1088,7 +1207,7 @@ class ShardedFeatureTrainer(Trainer):
             shard_step,
             mesh=self.mesh,
             in_specs=(
-                P(), P(axis),
+                P(), P(axis), P(),
                 (P(axis),) * len(edge_leaves),
                 (P(axis),) * len(frontier.ids),
                 (P(axis),) * len(frontier.masks),
@@ -1096,7 +1215,7 @@ class ShardedFeatureTrainer(Trainer):
             ),
             out_specs=(P(), P(), P()),
             check_vma=False,
-        )(state.params, feature_shards, edge_leaves,
+        )(state.params, feature_shards, hub, edge_leaves,
           frontier.ids, frontier.masks, labels)
 
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
@@ -1108,15 +1227,16 @@ class ShardedFeatureTrainer(Trainer):
         return _guard_state_update(violated, state, new_state), loss, violated
 
     def _block_payload(self):
-        # Shard stack + no-feature graph + layer-0 edge slices as jit ARGS
-        # (never closure constants — see Trainer._block_payload).
-        return (self.feature_shards, self._graph_nofeat, self.edge_slice_leaves)
+        # Shard stack + hub cache + no-feature graph + layer-0 edge slices
+        # as jit ARGS (never closure constants — see Trainer._block_payload).
+        return (self.feature_shards, self.hub_leaves, self._graph_nofeat,
+                self.edge_slice_leaves)
 
     def _train_block(self, state, payload, seeds_all):
         """Scanned block dispatch over the SHARDED step (the inherited block
         would fall back to the replicated-table step). ``payload`` is
-        ``(feature_shards, graph_nofeat, edge_slice_leaves)`` from
-        ``_block_payload``.
+        ``(feature_shards, hub_leaves, graph_nofeat, edge_slice_leaves)``
+        from ``_block_payload``.
 
         Capacity violations ride out as the per-step bool lane; a violated
         step is a NO-OP on the carried state (``_guard_state_update``), so
@@ -1125,11 +1245,11 @@ class ShardedFeatureTrainer(Trainer):
         ladder exhaustion raises). A violated slot's recorded loss is the
         clipped-rows value until the redo overwrites it.
         """
-        feature_shards, graph, edge_leaves = payload
+        feature_shards, hub, graph, edge_leaves = payload
 
         def body(st, seeds):
             st, loss, violated = self._sharded_step(
-                st, feature_shards, graph, edge_leaves, seeds
+                st, feature_shards, hub, graph, edge_leaves, seeds
             )
             return st, (loss, violated)
 
@@ -1277,7 +1397,7 @@ class ShardedFeatureTrainer(Trainer):
     def _step_call_args(self, seeds):
         """Positional args after ``state`` for ``_step_impl``, with the
         (device-placed) seeds in this trainer's slot."""
-        return (self.feature_shards, self._graph_nofeat,
+        return (self.feature_shards, self.hub_leaves, self._graph_nofeat,
                 self.edge_slice_leaves, seeds)
 
     def _get_jit_step(self, slack: float):
@@ -1338,8 +1458,13 @@ class ShardedFeatureTrainer(Trainer):
         from graphsage_tpu.utils.memory import live_device_bytes
 
         measured = live_device_bytes()
+        hub_bytes = sum(
+            int(np.prod(a.shape)) * a.dtype.itemsize for a in self.hub_leaves
+        )
         return {
             **self.features.memory_stats(),
+            "hub_cache_rows": self.hub_cache_rows,
+            "hub_cache_bytes_per_chip": hub_bytes,
             "measured_total_device_bytes": measured["total_bytes"],
             "measured_largest_buffer_bytes": measured["largest_buffer_bytes"],
             "measured_per_device_bytes": measured["per_device_bytes"],
@@ -1443,14 +1568,18 @@ def sharded_sample_neighbors(
     key: jax.Array,
     capacity: int,
     valid_mask: jax.Array | None = None,
+    method: str = "floyd",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One DISTRIBUTED sampling hop (call inside shard_map): frontier ids
     route to their owner shard, the owner runs the vectorized sampler over
     its local ELL/CSR tables, and the sampled GLOBAL neighbor ids ship
     back. Owner-side randomness is keyed by ``fold_in(key, axis_index)``
-    (deterministic per mesh). Returns ``(ids [q, k], mask [q, k],
-    violated)``; with ``fanout >= max degree`` or ``fanout=None`` the
-    result is deterministic and equals the single-device sampler's."""
+    (deterministic per mesh). ``method`` passes through to the owner-side
+    sampler — "windowed" works unchanged because the local CSR's
+    ``edge_dst`` slice carries GLOBAL neighbor ids. Returns ``(ids [q, k],
+    mask [q, k], violated)``; with ``fanout >= max degree`` or
+    ``fanout=None`` the result is deterministic and equals the
+    single-device sampler's."""
     from graphsage_tpu.ops.sampling import sample_neighbors
 
     np_ = adj.rows_per_shard
@@ -1463,6 +1592,7 @@ def sharded_sample_neighbors(
     skey = jax.random.fold_in(key, jax.lax.axis_index(axis))
     nids, nmask = sample_neighbors(
         skey, ell_local, deg_local, local_rows, fanout,
+        method=method,
         indptr=indptr_local, edge_dst=edge_dst_local,
         ell_covers_all=adj.ell_covers_all,
     )
@@ -1547,7 +1677,7 @@ def sharded_sample_frontier(
         nids, nmask, viol = sharded_sample_neighbors(
             axis, adj, ell, deg, indptr, edge_dst,
             parent_ids, fanout, hop_keys[h - 1], cap,
-            valid_mask=parent_mask,
+            valid_mask=parent_mask, method=model.sampling,
         )
         violated = violated | viol
         if model.concat_self or model.self_loop:
@@ -1583,18 +1713,19 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
     def __init__(self, model, graph, config, mesh, axis="data",
                  capacity_slack: float = 1.5,
                  layer0_exchange: str = "allgather",
-                 feature_store: NodeShardedFeatures | None = None):
-        if model.sampling != "floyd":
+                 feature_store: NodeShardedFeatures | None = None,
+                 hub_cache_rows: int = 0):
+        if model.sampling == "topk":
             raise ValueError(
-                "FullyShardedTrainer's distributed owner-side sampler is "
-                f"exact floyd only; sampling={model.sampling!r} is a "
-                "single-table mode (use ShardedFeatureTrainer, whose "
-                "replicated sampling supports it)"
+                "FullyShardedTrainer samples through the owner-side CSR "
+                "slice; method='topk' is ELL-only — use 'floyd' (exact) "
+                "or 'windowed'"
             )
         super().__init__(
             model, graph, config, mesh, axis=axis,
             gather_mode="compact", capacity_slack=capacity_slack,
             layer0_exchange=layer0_exchange, feature_store=feature_store,
+            hub_cache_rows=hub_cache_rows,
         )
         self.adjacency = shard_adjacency(
             graph, mesh.shape[axis], sharding=self._shard_sharding
@@ -1639,8 +1770,8 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
         )
         return self._layer0_table_fn_slices((e_src, e_dst, e_mask, deg))
 
-    def _fully_sharded_step(self, state, feature_shards, adj_leaves, seeds,
-                            slack=None):
+    def _fully_sharded_step(self, state, feature_shards, hub, adj_leaves,
+                            seeds, slack=None):
         model = self.model
         axis = self.axis
         adj = self.adjacency
@@ -1652,15 +1783,19 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
         )
         labels_all = self.graph.labels  # [N] int32 — tiny, replicated
 
-        def shard_step(params, shard, adj_local, seeds_local, labels_local):
+        def shard_step(params, shard, hub_l, adj_local, seeds_local,
+                       labels_local):
             shard_l = _lead0(shard)
+            g_fn, gm_fn = _hub_wrap_gather_fns(gather_fn, gather_mean_fn,
+                                               hub_l)
             frontier, violated = sharded_sample_frontier(
                 axis, model, adj, adj_local, seeds_local[0], sample_key,
                 slack,
             )
             # Feature-gather sites overflow independently of sampling hops.
             violated = violated | self._local_sites_violated(
-                frontier, slack=slack
+                frontier, slack=slack,
+                hub_lookup=hub_l[0] if hub_l else None,
             )
             table_fn = self._layer0_table_fn_adj(
                 tuple(a[0] for a in adj_local)
@@ -1669,7 +1804,7 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
             def loss_fn(p):
                 return model.loss(
                     p, shard_l, frontier, labels_local,
-                    gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
+                    gather_fn=g_fn, gather_mean_fn=gm_fn,
                     layer0_table=(
                         table_fn(p, shard_l) if table_fn is not None else None
                     ),
@@ -1689,13 +1824,13 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
             shard_step,
             mesh=self.mesh,
             in_specs=(
-                P(), P(self.axis),
+                P(), P(self.axis), P(),
                 (P(self.axis),) * 4,
                 P(self.axis), P(self.axis),
             ),
             out_specs=(P(), P(), P()),
             check_vma=False,
-        )(state.params, feature_shards, adj_leaves,
+        )(state.params, feature_shards, hub, adj_leaves,
           seeds.reshape(self.mesh.shape[self.axis], -1), labels)
 
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
@@ -1708,17 +1843,18 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
         return self._fully_sharded_step(state, *args, slack=slack)
 
     def _step_call_args(self, seeds):
-        return (self.feature_shards, self.adjacency_shards, seeds)
+        return (self.feature_shards, self.hub_leaves, self.adjacency_shards,
+                seeds)
 
     def _block_payload(self):
-        return (self.feature_shards, self.adjacency_shards)
+        return (self.feature_shards, self.hub_leaves, self.adjacency_shards)
 
     def _train_block(self, state, payload, seeds_all):
-        feature_shards, adjacency_shards = payload
+        feature_shards, hub, adjacency_shards = payload
 
         def body(st, seeds):
             st, loss, violated = self._fully_sharded_step(
-                st, feature_shards, adjacency_shards, seeds
+                st, feature_shards, hub, adjacency_shards, seeds
             )
             return st, (loss, violated)
 

@@ -41,6 +41,10 @@ class ModelConfig:
     # Last-layer nonlinearity: "relu" (reference behavior) | "linear"
     # (required by objective="unsupervised" — see GraphSAGE.final_activation).
     final_activation: str = "relu"
+    # Neighbor-sampling mechanism: "floyd" (exact uniform k-subsets, the
+    # reference semantics) | "topk" | "windowed" (one CSR lane fetch per
+    # parent, unbiased-mean semantics — see GraphSAGE.sampling).
+    sampling: str = "floyd"
 
 
 @dataclasses.dataclass(frozen=True)

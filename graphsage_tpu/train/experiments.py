@@ -83,6 +83,7 @@ def build_model(config: ExperimentConfig, graph: Graph) -> GraphSAGE:
         spmm_impl=m.spmm_impl,
         layer0=m.layer0,
         final_activation=m.final_activation,
+        sampling=m.sampling,
     )
 
 
@@ -96,6 +97,7 @@ def run_preset(
     resume_path: str | None = None,
     eval_only: bool = False,
     checkpoint_every: int = 0,
+    hub_cache_rows: int = 0,
 ) -> dict[str, Any]:
     """Train one of the BASELINE.json preset configs end to end.
 
@@ -161,7 +163,13 @@ def run_preset(
                 if mode == "sharded"
                 else UnsupervisedFullyShardedTrainer
             )
-            trainer = cls(model, graph, config.train, make_mesh({"data": s}))
+            trainer = cls(
+                model, graph, config.train, make_mesh({"data": s}),
+                **({"hub_cache_rows": hub_cache_rows, "gather_mode": "compact"}
+                   if hub_cache_rows and mode == "sharded"
+                   else {"hub_cache_rows": hub_cache_rows}
+                   if hub_cache_rows else {}),
+            )
         else:
             raise ValueError(
                 "objective='unsupervised' supports mode='sampled', the "
@@ -197,7 +205,13 @@ def run_preset(
             FullyShardedTrainer if mode == "fully-sharded"
             else ShardedFeatureTrainer
         )
-        trainer = cls(model, graph, config.train, mesh)
+        trainer = cls(
+            model, graph, config.train, mesh,
+            **({"hub_cache_rows": hub_cache_rows, "gather_mode": "compact"}
+               if hub_cache_rows and mode == "sharded"
+               else {"hub_cache_rows": hub_cache_rows}
+               if hub_cache_rows else {}),
+        )
         if log:
             stats = trainer.memory_stats()
             log(f"{mode} over {s} device(s): "
@@ -299,6 +313,15 @@ def main(argv: Optional[list[str]] = None) -> None:
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (fail fast on NaN, "
                         "SURVEY.md §5.2 — e.g. Q4-class bugs)")
+    parser.add_argument("--sampling", choices=("floyd", "topk", "windowed"),
+                        default=None,
+                        help="neighbor sampler: floyd (exact uniform, "
+                        "default) | windowed (one CSR lane fetch per "
+                        "parent, unbiased-mean semantics)")
+    parser.add_argument("--hub-cache-rows", type=int, default=0,
+                        help="sharded modes: replicate this many top-degree "
+                        "feature rows so hub-skewed requests bypass the "
+                        "compact exchange (docs/DISTRIBUTED.md)")
     parser.add_argument("--quantize-features", action="store_true",
                         help="int8-quantize the frozen feature table at load "
                         "time (2-4x smaller resident table, int8 deepest-hop "
@@ -331,6 +354,8 @@ def main(argv: Optional[list[str]] = None) -> None:
         overrides["val_size"] = args.val_size
     if args.quantize_features:
         overrides["quantize_features"] = True
+    if args.sampling is not None:
+        overrides["sampling"] = args.sampling
     if args.quiet:
         overrides["log_every"] = 0
 
@@ -363,6 +388,7 @@ def main(argv: Optional[list[str]] = None) -> None:
             resume_path=args.resume,
             eval_only=args.eval_only,
             checkpoint_every=args.checkpoint_every,
+            hub_cache_rows=args.hub_cache_rows,
         )
     if args.log_jsonl:
         from graphsage_tpu.utils.logging import MetricsLogger

@@ -187,11 +187,11 @@ class UnsupervisedShardedTrainer(_ShardedFeatureTrainer):
         return (*super()._block_payload(), self.neg_cdf)
 
     def _train_block(self, state, payload, seeds_all):
-        feature_shards, graph, edge_leaves, neg_cdf = payload
+        feature_shards, hub, graph, edge_leaves, neg_cdf = payload
 
         def body(st, seeds):
             st, loss, violated = self._sharded_step(
-                st, feature_shards, graph, edge_leaves, seeds, neg_cdf
+                st, feature_shards, hub, graph, edge_leaves, seeds, neg_cdf
             )
             return st, (loss, violated)
 
@@ -202,14 +202,15 @@ class UnsupervisedShardedTrainer(_ShardedFeatureTrainer):
     # _step_impl (dynamic dispatch reaches this class's _sharded_step) with
     # the neg_cdf threaded through _step_call_args.
     def _step_call_args(self, seeds):
-        return (self.feature_shards, self._graph_nofeat,
+        return (self.feature_shards, self.hub_leaves, self._graph_nofeat,
                 self.edge_slice_leaves, seeds, self.neg_cdf)
 
-    def _sharded_step(self, state, feature_shards, graph, edge_leaves, seeds,
-                      neg_cdf, slack=None):
+    def _sharded_step(self, state, feature_shards, hub, graph, edge_leaves,
+                      seeds, neg_cdf, slack=None):
         from graphsage_tpu.models.graphsage import Frontier
         from graphsage_tpu.parallel.feature_store import (
             _guard_state_update,
+            _hub_wrap_gather_fns,
             _lead0,
             make_sharded_gather_fns,
         )
@@ -234,11 +235,17 @@ class UnsupervisedShardedTrainer(_ShardedFeatureTrainer):
             num_shards=self.mesh.shape[axis], slack=slack,
         )
 
-        def shard_step(params, shard, edge_local, f_ids, f_masks, mask_local):
+        def shard_step(params, shard, hub_l, edge_local, f_ids, f_masks,
+                       mask_local):
             shard_l = _lead0(shard)
             local = Frontier(ids=f_ids, masks=f_masks)
+            g_fn, gm_fn = _hub_wrap_gather_fns(gather_fn, gather_mean_fn,
+                                               hub_l)
             violated = (
-                self._local_sites_violated(local, slack=slack)
+                self._local_sites_violated(
+                    local, slack=slack,
+                    hub_lookup=hub_l[0] if hub_l else None,
+                )
                 if self.gather_mode == "compact"
                 else jnp.zeros((), bool)
             )
@@ -262,7 +269,7 @@ class UnsupervisedShardedTrainer(_ShardedFeatureTrainer):
             def loss_fn(p):
                 z = model.forward(
                     p, shard_l, local, return_embeddings=True,
-                    gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
+                    gather_fn=g_fn, gather_mean_fn=gm_fn,
                     layer0_table=(
                         table_fn(p, shard_l) if table_fn is not None else None
                     ),
@@ -282,7 +289,7 @@ class UnsupervisedShardedTrainer(_ShardedFeatureTrainer):
             shard_step,
             mesh=self.mesh,
             in_specs=(
-                P(), P(axis),
+                P(), P(axis), P(),
                 (P(axis),) * len(edge_leaves),
                 (P(axis),) * len(frontier.ids),
                 (P(axis),) * len(frontier.masks),
@@ -290,7 +297,7 @@ class UnsupervisedShardedTrainer(_ShardedFeatureTrainer):
             ),
             out_specs=(P(), P(), P()),
             check_vma=False,
-        )(state.params, feature_shards, edge_leaves,
+        )(state.params, feature_shards, hub, edge_leaves,
           frontier.ids, frontier.masks, pair_mask)
 
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
@@ -435,11 +442,11 @@ class UnsupervisedFullyShardedTrainer(_FullyShardedTrainer):
         return (*super()._block_payload(), self.neg_cdf)
 
     def _train_block(self, state, payload, seeds_all):
-        feature_shards, adjacency_shards, neg_cdf = payload
+        feature_shards, hub, adjacency_shards, neg_cdf = payload
 
         def body(st, seeds):
             st, loss, violated = self._fully_sharded_step(
-                st, feature_shards, adjacency_shards, seeds, neg_cdf
+                st, feature_shards, hub, adjacency_shards, seeds, neg_cdf
             )
             return st, (loss, violated)
 
@@ -450,11 +457,11 @@ class UnsupervisedFullyShardedTrainer(_FullyShardedTrainer):
     # dispatch reaches this class's _fully_sharded_step) with neg_cdf
     # threaded through _step_call_args.
     def _step_call_args(self, seeds):
-        return (self.feature_shards, self.adjacency_shards, seeds,
-                self.neg_cdf)
+        return (self.feature_shards, self.hub_leaves, self.adjacency_shards,
+                seeds, self.neg_cdf)
 
-    def _fully_sharded_step(self, state, feature_shards, adj_leaves, seeds,
-                            neg_cdf, slack=None):
+    def _fully_sharded_step(self, state, feature_shards, hub, adj_leaves,
+                            seeds, neg_cdf, slack=None):
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
@@ -462,6 +469,7 @@ class UnsupervisedFullyShardedTrainer(_FullyShardedTrainer):
         from graphsage_tpu.ops.walks import pick_positive_step, sample_from_cdf
         from graphsage_tpu.parallel.feature_store import (
             _guard_state_update,
+            _hub_wrap_gather_fns,
             _lead0,
             make_sharded_gather_fns,
             sharded_random_walk,
@@ -481,8 +489,10 @@ class UnsupervisedFullyShardedTrainer(_FullyShardedTrainer):
             num_shards=self.mesh.shape[axis], slack=slack,
         )
 
-        def shard_step(params, shard, adj_local, seeds_local, cdf):
+        def shard_step(params, shard, hub_l, adj_local, seeds_local, cdf):
             shard_l = _lead0(shard)
+            g_fn, gm_fn = _hub_wrap_gather_fns(gather_fn, gather_mean_fn,
+                                               hub_l)
             al = tuple(a[0] for a in adj_local)
             me = jax.lax.axis_index(axis)
             seeds_l = seeds_local[0].astype(jnp.int32)
@@ -505,7 +515,8 @@ class UnsupervisedFullyShardedTrainer(_FullyShardedTrainer):
                 slack,
             )
             violated = violated | viol_f | self._local_sites_violated(
-                frontier, slack=slack
+                frontier, slack=slack,
+                hub_lookup=hub_l[0] if hub_l else None,
             )
             table_fn = self._layer0_table_fn_adj(al)
             den = jnp.maximum(
@@ -516,7 +527,7 @@ class UnsupervisedFullyShardedTrainer(_FullyShardedTrainer):
             def loss_fn(p):
                 z = model.forward(
                     p, shard_l, frontier, return_embeddings=True,
-                    gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
+                    gather_fn=g_fn, gather_mean_fn=gm_fn,
                     layer0_table=(
                         table_fn(p, shard_l) if table_fn is not None else None
                     ),
@@ -536,12 +547,12 @@ class UnsupervisedFullyShardedTrainer(_FullyShardedTrainer):
             shard_step,
             mesh=self.mesh,
             in_specs=(
-                P(), P(self.axis), (P(self.axis),) * 4,
+                P(), P(self.axis), P(), (P(self.axis),) * 4,
                 P(self.axis), P(),
             ),
             out_specs=(P(), P(), P()),
             check_vma=False,
-        )(state.params, feature_shards, adj_leaves,
+        )(state.params, feature_shards, hub, adj_leaves,
           seeds.reshape(self.mesh.shape[self.axis], -1), neg_cdf)
 
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)

@@ -566,3 +566,130 @@ def test_sharded_comm_stats_math():
                    fanouts=(4, 4), concat_self=True)
     st2 = sharded_comm_stats(m2, 64, 8)
     assert len(st2["sites"]) == 2
+
+
+# ------------------------------------------------------------- hub cache
+
+
+def _hub_star_graph():
+    """Undirected star cluster: nodes 0..3 are the only high-degree nodes
+    (every node >= 4 attaches to node i%4), so with a 1-layer model every
+    VALID deepest-hop request from seeds >= 4 targets shard 0's range and
+    the top-4-by-degree hub cache covers them all."""
+    from graphsage_tpu.data.graph import build_graph
+
+    edges = np.asarray([[i, i % 4] for i in range(4, 64)])
+    rng = np.random.default_rng(5)
+    return build_graph(
+        rng.normal(size=(64, 12)).astype(np.float32),
+        np.zeros(64, np.int64), edges, num_classes=2, placement="host",
+    )
+
+
+def test_hub_cache_absorbs_skew_without_retry():
+    """With the frozen hub cache covering the hot rows, a batch whose
+    valid requests all target one owner trains at the CONFIGURED slack —
+    no overflow, no retry warning; without the cache the same batch
+    violates and walks the ladder."""
+    import warnings
+
+    g = _hub_star_graph()
+    # in_dim <= hidden so the injected gather reads the RAW table (the
+    # frozen cache's validity domain).
+    model = GraphSAGE(in_dim=12, num_classes=2, hidden_dims=(16,),
+                      fanouts=(4,))
+    cfg = TrainConfig(batch_size=128, num_steps=1, test_size=8, val_size=8,
+                      log_every=0)
+    mesh = make_mesh({"data": 8})
+    # 16 degree-1 seeds/shard, every valid request pointing at a hub:
+    # 16 requests/shard to owner 0 vs capacity 8 at slack 1.0 -> overflow
+    # without the cache; with it every slot is hub-resolved or masked and
+    # spreads round-robin (exactly 8/owner = capacity, no overflow).
+    seeds = (4 + np.arange(128) % 60).astype(np.int32)
+
+    plain = ShardedFeatureTrainer(model, g, cfg, mesh,
+                                  gather_mode="compact", capacity_slack=1.0)
+    with pytest.warns(UserWarning, match="capacity exceeded"):
+        plain.step(plain.init_state(), seeds)
+
+    hub = ShardedFeatureTrainer(model, g, cfg, mesh, gather_mode="compact",
+                                capacity_slack=1.0, hub_cache_rows=4)
+    stats = hub.memory_stats()
+    assert stats["hub_cache_rows"] == 4
+    assert stats["hub_cache_bytes_per_chip"] > 0
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any retry warning fails the test
+        state, loss = hub.step(hub.init_state(), seeds)
+    assert np.isfinite(float(loss))
+
+
+@pytest.mark.parametrize("fully", [False, True])
+def test_hub_cache_exact_parity(fully):
+    """Cached hub rows are bit-identical to routed rows (frozen table), so
+    hub/no-hub trainers must produce identical losses step for step."""
+    from graphsage_tpu.parallel.feature_store import FullyShardedTrainer
+
+    g = power_law_graph(num_nodes=200, num_edges=800, num_feats=8,
+                        num_classes=4, seed=2, homophily=0.8,
+                        placement="host")
+    model = GraphSAGE(in_dim=8, num_classes=4, hidden_dims=(16, 16),
+                      fanouts=(4, 4))
+    cfg = TrainConfig(batch_size=32, num_steps=3, learning_rate=0.5,
+                      test_size=40, val_size=40, log_every=0)
+    mesh = make_mesh({"data": 8})
+    cls = FullyShardedTrainer if fully else ShardedFeatureTrainer
+    kw = {} if fully else {"gather_mode": "compact"}
+    a = cls(model, g, cfg, mesh, capacity_slack=8.0, **kw)
+    b = cls(model, g, cfg, mesh, capacity_slack=8.0, hub_cache_rows=16, **kw)
+    sa, sb = a.init_state(), b.init_state()
+    ita, itb = a.batches(), b.batches()
+    for _ in range(cfg.num_steps):
+        sa, la = a.step(sa, next(ita))
+        sb, lb = b.step(sb, next(itb))
+        np.testing.assert_allclose(float(la), float(lb), rtol=0, atol=0)
+
+
+def test_hub_cache_rejects_params_dependent_tables():
+    """project-first and layer0='full' gather from params-dependent tables
+    a frozen cache cannot track — construction must fail loudly."""
+    g = power_law_graph(num_nodes=200, num_edges=800, num_feats=48,
+                        num_classes=4, seed=2, placement="host")
+    mesh = make_mesh({"data": 8})
+    cfg = TrainConfig(batch_size=32, num_steps=1, test_size=40, val_size=40,
+                      log_every=0)
+    pf_model = GraphSAGE(in_dim=48, num_classes=4, hidden_dims=(8, 8),
+                         fanouts=(4, 4))  # 48 -> 8 projects first
+    with pytest.raises(ValueError, match="raw-feature gather path"):
+        ShardedFeatureTrainer(pf_model, g, cfg, mesh, gather_mode="compact",
+                              hub_cache_rows=8)
+    raw_model = GraphSAGE(in_dim=8, num_classes=4, hidden_dims=(16, 16),
+                          fanouts=(4, 4))
+    with pytest.raises(ValueError, match="compact"):
+        ShardedFeatureTrainer(
+            dataclasses.replace(raw_model, in_dim=8),
+            power_law_graph(num_nodes=200, num_edges=800, num_feats=8,
+                            num_classes=4, seed=2, placement="host"),
+            cfg, mesh, gather_mode="dense", hub_cache_rows=8,
+        )
+
+
+def test_hub_cache_unsupervised_smoke():
+    """The degree^0.75 negatives are the hub-skew worst case; the unsup
+    sharded trainer must accept the cache and train finitely."""
+    from graphsage_tpu.train.unsupervised import UnsupervisedShardedTrainer
+
+    g = power_law_graph(num_nodes=200, num_edges=800, num_feats=8,
+                        num_classes=4, seed=2, homophily=0.8,
+                        placement="host")
+    model = GraphSAGE(in_dim=8, num_classes=4, hidden_dims=(16, 16),
+                      fanouts=(4, 4), final_activation="linear")
+    cfg = TrainConfig(batch_size=16, num_steps=2, log_every=0,
+                      test_size=40, val_size=40, num_negatives=3,
+                      walk_length=2, eval_fanouts=(4, 4))
+    mesh = make_mesh({"data": 8})
+    tr = UnsupervisedShardedTrainer(model, g, cfg, mesh,
+                                    gather_mode="compact",
+                                    capacity_slack=8.0, hub_cache_rows=16)
+    st = tr.init_state()
+    st, loss = tr.step(st, next(tr.batches()))
+    assert np.isfinite(float(loss))

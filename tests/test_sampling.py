@@ -309,7 +309,9 @@ def test_windowed_model_trains():
     assert losses[-5:].mean() < losses[:5].mean() * 0.7
 
 
-def test_windowed_rejected_by_fully_sharded_trainer():
+def test_windowed_fully_sharded_trains_and_topk_rejected():
+    """The distributed owner-side sampler supports windowed (its local CSR
+    slice carries global neighbor ids); topk is ELL-only and rejected."""
     from graphsage_tpu.data.synthetic import power_law_graph
     from graphsage_tpu.models.graphsage import GraphSAGE
     from graphsage_tpu.parallel.feature_store import FullyShardedTrainer
@@ -317,12 +319,20 @@ def test_windowed_rejected_by_fully_sharded_trainer():
     from graphsage_tpu.train.config import TrainConfig
 
     g = power_law_graph(num_nodes=200, num_edges=800, num_feats=8,
-                        num_classes=2, seed=0)
-    model = GraphSAGE(in_dim=8, num_classes=2, hidden_dims=(8, 8),
+                        num_classes=2, seed=0, homophily=0.8,
+                        placement="host")
+    cfg = TrainConfig(batch_size=32, num_steps=1, test_size=40,
+                      val_size=40, log_every=0)
+    mesh = make_mesh({"data": 8})
+    model = GraphSAGE(in_dim=8, num_classes=2, hidden_dims=(16, 16),
                       fanouts=(3, 3), sampling="windowed")
-    with pytest.raises(ValueError, match="floyd only"):
+    tr = FullyShardedTrainer(model, g, cfg, mesh, capacity_slack=8.0)
+    state, loss = tr.step(tr.init_state(), np.zeros(32, np.int32) + 7)
+    assert np.isfinite(float(loss))
+
+    with pytest.raises(ValueError, match="topk"):
         FullyShardedTrainer(
-            model, g, TrainConfig(batch_size=32, num_steps=1, test_size=40,
-                                  val_size=40, log_every=0),
-            make_mesh({"data": 8}),
+            GraphSAGE(in_dim=8, num_classes=2, hidden_dims=(16, 16),
+                      fanouts=(3, 3), sampling="topk"),
+            g, cfg, mesh,
         )
