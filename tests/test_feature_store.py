@@ -693,3 +693,55 @@ def test_hub_cache_unsupervised_smoke():
     st = tr.init_state()
     st, loss = tr.step(st, next(tr.batches()))
     assert np.isfinite(float(loss))
+
+
+def test_distributed_windowed_sampler_uniform_marginals():
+    """Windowed sampling THROUGH the owner-routed distributed hop: a
+    degree-300 hub (3 CSR lane windows, the last partial with 44 >= k
+    elements) must give every neighbor the k/d marginal, exactly like the
+    single-chip windowed sampler."""
+    from graphsage_tpu.data.graph import build_graph
+    from graphsage_tpu.parallel.feature_store import (
+        shard_adjacency,
+        sharded_sample_neighbors,
+    )
+
+    hub_deg, k = 300, 4
+    edges = np.array([[0, i] for i in range(1, hub_deg + 1)])
+    g = build_graph(np.zeros((hub_deg + 8, 4), np.float32),
+                    np.zeros(hub_deg + 8), edges, num_classes=1,
+                    placement="host", ell_width_cap=16)
+    mesh = make_mesh({"data": 8})
+    adj = shard_adjacency(g, 8)
+    cap = 16
+
+    def hop(ell, deg, indptr, edge_dst, key):
+        ids = jnp.zeros((2,), jnp.int32)  # every shard asks for the hub
+        nids, nmask, viol = sharded_sample_neighbors(
+            "data", adj, ell[0], deg[0], indptr[0], edge_dst[0],
+            ids, k, key[0], cap, method="windowed",
+        )
+        return nids[None], nmask[None], viol[None]
+
+    f = jax.jit(shard_map(
+        hop, mesh=mesh,
+        in_specs=((P("data"),) * 4 + (P(),)),
+        out_specs=(P("data"), P("data"), P("data")),
+    ))
+    draws = 150
+    keys = jax.random.split(jax.random.PRNGKey(23), draws)
+    counts = np.zeros(hub_deg + 8)
+    for d in range(draws):
+        nids, nmask, viol = f(adj.ell, adj.degrees, adj.indptr, adj.edge_dst,
+                              jnp.broadcast_to(keys[d], (8, *keys[d].shape)))
+        assert not bool(np.asarray(viol).any())
+        nids, nmask = np.asarray(nids), np.asarray(nmask)
+        assert nmask.all()  # every window of a 300-row holds >= 4
+        for s in range(8):
+            for row in nids[s]:
+                assert len(set(row.tolist())) == k
+        np.add.at(counts, nids.reshape(-1), 1)
+    assert counts[0] == 0 and counts[hub_deg + 1:].sum() == 0
+    rel = counts[1:hub_deg + 1] / counts[1:hub_deg + 1].mean()
+    # 8 shards x 2 requests x 150 draws x 4 = 9600 picks, ~32/neighbor.
+    assert rel.min() > 0.45 and rel.max() < 1.7
