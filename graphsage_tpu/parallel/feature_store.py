@@ -455,6 +455,12 @@ def sharded_row_gather(
     return mine.reshape(*ids_local.shape, f)
 
 
+# Counting-rank bucketing pays O(q·S); the sort pays O(q·log q). At the
+# Cora shapes the cumsum wins 2.5x up to S=8 (measured); 32 bounds its
+# transient to 128 bytes/request before the sort's S-independence wins.
+_RANK_SORT_MIN_SHARDS = 32
+
+
 class _RouteCtx(NamedTuple):
     """Sort bookkeeping of one request-routing round (static shapes)."""
 
@@ -482,23 +488,35 @@ def _route_requests(
     owners so they cannot pile onto shard 0; overflow sets ``ctx.violated``
     (rows would be clipped).
 
-    Bucketing is a counting rank, not a sort: each request's slot is the
-    number of EARLIER same-owner requests (one ``[q, S]`` one-hot cumsum),
-    computed in original order — no argsort / searchsorted / inverse
-    permutation. The owner alphabet is tiny (S shards), so the cumsum
-    streams where the stable sort paid ~log²(q) compare passes; with the
-    composed-index answer restore (``_RouteCtx.take``) this took the Cora
-    compact step 2.50 -> 2.11 ms and the fully sharded step 2.77 -> 2.30
-    ms on the chip, losses bit-identical (docs/ROOFLINE.md §4)."""
+    Bucketing is a counting rank, not a sort, at practical shard counts:
+    each request's slot is the number of EARLIER same-owner requests (one
+    ``[q, S]`` one-hot cumsum), computed in original order — no argsort /
+    searchsorted / inverse permutation. With the composed-index answer
+    restore (``_RouteCtx.take``) this took the Cora compact step
+    2.50 -> 2.11 ms and the fully sharded step 2.77 -> 2.30 ms on the
+    chip, losses bit-identical (docs/ROOFLINE.md §4). The one-hot cumsum
+    is O(q·S) work and a ``4·q·S``-byte transient, so above
+    ``_RANK_SORT_MIN_SHARDS`` shards the stable-sort formulation
+    (O(q log q), S-independent) takes over — both are exact and produce
+    identical buckets (stable order)."""
     q = flat_ids.shape[0]
     s = jax.lax.axis_size(axis)
     if valid_mask is not None:
         spread = (jnp.arange(q, dtype=jnp.int32) % s) * rows_per_shard
         flat_ids = jnp.where(valid_mask.reshape(-1), flat_ids, spread)
     owner = (flat_ids // rows_per_shard).astype(jnp.int32)
-    onehot = owner[:, None] == jnp.arange(s, dtype=jnp.int32)[None, :]
-    within = jnp.cumsum(onehot.astype(jnp.int32), axis=0)
-    rank = jnp.take_along_axis(within, owner[:, None], axis=1)[:, 0] - 1
+    if s <= _RANK_SORT_MIN_SHARDS:
+        onehot = owner[:, None] == jnp.arange(s, dtype=jnp.int32)[None, :]
+        within = jnp.cumsum(onehot.astype(jnp.int32), axis=0)
+        rank = jnp.take_along_axis(within, owner[:, None], axis=1)[:, 0] - 1
+    else:
+        order = jnp.argsort(owner, stable=True)
+        sorted_owner = owner[order]
+        starts = jnp.searchsorted(
+            sorted_owner, jnp.arange(s, dtype=owner.dtype)
+        )
+        sorted_rank = jnp.arange(q) - starts[sorted_owner]
+        rank = jnp.zeros(q, sorted_rank.dtype).at[order].set(sorted_rank)
     violated = (rank >= capacity).any()
     slot = jnp.clip(rank, 0, capacity - 1)
     req = jnp.zeros((s, capacity), jnp.int32).at[owner, slot].set(flat_ids)
@@ -780,6 +798,14 @@ def _hub_wrap_gather_fns(gather_fn, gather_mean_fn, hub):
     with the padding, never counting toward any owner's bucket), and their
     garbage answers are overwritten from the replicated cache. Exact: the
     cache holds the same values the exchange would return (frozen table).
+
+    The hub path deliberately recomposes the mean as row-gather +
+    :func:`masked_mean` instead of delegating to ``gather_mean_fn``
+    (which is used only in the no-hub passthrough): cached rows must be
+    inserted BEFORE the reduction, and the compact ``gather_mean_fn`` is
+    exactly that same composition today (make_sharded_gather_fns) — the
+    bit-identical hub/no-hub parity tests pin the equivalence. If a fused
+    mean exchange ever lands, route hubs through it there.
     """
     if not hub:
         return gather_fn, gather_mean_fn
@@ -1257,15 +1283,16 @@ class ShardedFeatureTrainer(Trainer):
         return state, losses, violated
 
     # ------------------------------------------------------------------ eval
-    def _eval_logits_sharded(self, params, feature_shards, graph,
+    def _eval_logits_sharded(self, params, feature_shards, hub, graph,
                              edge_leaves, seeds, mode=None,
                              return_embeddings: bool = False):
         """Sampled eval logits through the node-sharded gather (same
-        machinery as the training step, fixed key — the reference's
-        sampled-eval observable without replicating the table). ``mode``
-        overrides the trainer's gather mode (the dense fallback path);
-        ``return_embeddings`` yields the pre-head rows instead (the
-        unsupervised probe's input)."""
+        machinery as the training step — hub cache included, so a skewed
+        eval batch benefits from the same structural bound training does;
+        fixed key — the reference's sampled-eval observable without
+        replicating the table). ``mode`` overrides the trainer's gather
+        mode (the dense fallback path); ``return_embeddings`` yields the
+        pre-head rows instead (the unsupervised probe's input)."""
         import dataclasses as _dc
 
         mode = mode or self.gather_mode
@@ -1279,11 +1306,16 @@ class ShardedFeatureTrainer(Trainer):
             num_shards=self.mesh.shape[self.axis], slack=self.capacity_slack,
         )
 
-        def shard_fwd(params, shard, edge_local, f_ids, f_masks):
+        def shard_fwd(params, shard, hub_l, edge_local, f_ids, f_masks):
             shard_l = _lead0(shard)
             local = Frontier(ids=f_ids, masks=f_masks)
+            g_fn, gm_fn = _hub_wrap_gather_fns(gather_fn, gather_mean_fn,
+                                               hub_l)
             violated = (
-                self._local_sites_violated(local, model)  # eval fanouts
+                self._local_sites_violated(
+                    local, model,  # eval fanouts
+                    hub_lookup=hub_l[0] if hub_l else None,
+                )
                 if mode == "compact"
                 else jnp.zeros((), bool)
             )
@@ -1294,7 +1326,7 @@ class ShardedFeatureTrainer(Trainer):
             )
             logits = model.forward(
                 params, shard_l, local,
-                gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
+                gather_fn=g_fn, gather_mean_fn=gm_fn,
                 return_embeddings=return_embeddings,
                 layer0_table=(
                     table_fn(params, shard_l)
@@ -1311,14 +1343,15 @@ class ShardedFeatureTrainer(Trainer):
             shard_fwd,
             mesh=self.mesh,
             in_specs=(
-                P(), P(self.axis),
+                P(), P(self.axis), P(),
                 (P(self.axis),) * len(edge_leaves),
                 (P(self.axis),) * len(frontier.ids),
                 (P(self.axis),) * len(frontier.masks),
             ),
             out_specs=(P(self.axis), P()),
             check_vma=False,
-        )(params, feature_shards, edge_leaves, frontier.ids, frontier.masks)
+        )(params, feature_shards, hub, edge_leaves,
+          frontier.ids, frontier.masks)
 
     def predict(self, state, nodes):
         """Sampled eval stays node-sharded when ``eval_fanouts`` is set;
@@ -1345,8 +1378,8 @@ class ShardedFeatureTrainer(Trainer):
             self._jit_eval_logits_dense = None
         seeds_dev = jax.device_put(jnp.asarray(seeds, jnp.int32), self._repl)
         logits, violated = self._jit_eval_logits(
-            state.params, self.feature_shards, self._graph_nofeat,
-            self.edge_slice_leaves, seeds_dev,
+            state.params, self.feature_shards, self.hub_leaves,
+            self._graph_nofeat, self.edge_slice_leaves, seeds_dev,
         )
         if bool(violated):
             # Never fail a finished run over an eval-frontier shape: redo
@@ -1365,8 +1398,8 @@ class ShardedFeatureTrainer(Trainer):
                     _ft.partial(self._eval_logits_sharded, mode="dense")
                 )
             logits, _ = self._jit_eval_logits_dense(
-                state.params, self.feature_shards, self._graph_nofeat,
-                self.edge_slice_leaves, seeds_dev,
+                state.params, self.feature_shards, self.hub_leaves,
+                self._graph_nofeat, self.edge_slice_leaves, seeds_dev,
             )
         return self.model.predictions(logits)[: len(nodes)]
 
@@ -1579,7 +1612,9 @@ def sharded_sample_neighbors(
     ``edge_dst`` slice carries GLOBAL neighbor ids. Returns ``(ids [q, k],
     mask [q, k], violated)``; with ``fanout >= max degree`` or
     ``fanout=None`` the result is deterministic and equals the
-    single-device sampler's."""
+    single-device sampler's — for the EXACT methods only ("windowed"
+    never returns more than one 128-lane window per parent, so covering
+    fanouts do not make it deterministic)."""
     from graphsage_tpu.ops.sampling import sample_neighbors
 
     np_ = adj.rows_per_shard
@@ -1867,7 +1902,7 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
 
     # ------------------------------------------------------------------ eval
     def _eval_logits_fully_sharded(
-        self, params, feature_shards, adj_leaves, seeds, slack,
+        self, params, feature_shards, hub, adj_leaves, seeds, slack,
         return_embeddings: bool = False,
     ):
         """Sampled eval logits with DISTRIBUTED per-hop sampling — the eval
@@ -1889,20 +1924,23 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
             num_shards=self.mesh.shape[axis], slack=slack,
         )
 
-        def shard_fwd(params, shard, adj_local, seeds_local):
+        def shard_fwd(params, shard, hub_l, adj_local, seeds_local):
             shard_l = _lead0(shard)
+            g_fn, gm_fn = _hub_wrap_gather_fns(gather_fn, gather_mean_fn,
+                                               hub_l)
             frontier, violated = sharded_sample_frontier(
                 axis, model, adj, adj_local, seeds_local[0], key, slack
             )
             violated = violated | self._local_sites_violated(
-                frontier, model, slack=slack
+                frontier, model, slack=slack,
+                hub_lookup=hub_l[0] if hub_l else None,
             )
             table_fn = self._layer0_table_fn_adj(
                 tuple(a[0] for a in adj_local)
             )
             logits = model.forward(
                 params, shard_l, frontier,
-                gather_fn=gather_fn, gather_mean_fn=gather_mean_fn,
+                gather_fn=g_fn, gather_mean_fn=gm_fn,
                 return_embeddings=return_embeddings,
                 layer0_table=(
                     table_fn(params, shard_l)
@@ -1917,13 +1955,13 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
             shard_fwd,
             mesh=self.mesh,
             in_specs=(
-                P(), P(self.axis),
+                P(), P(self.axis), P(),
                 (P(self.axis),) * 4,
                 P(self.axis),
             ),
             out_specs=(P(self.axis), P()),
             check_vma=False,
-        )(params, feature_shards, adj_leaves,
+        )(params, feature_shards, hub, adj_leaves,
           seeds.reshape(self.mesh.shape[self.axis], -1))
 
     def _eval_with_slack_retries(self, params, seeds, *,
@@ -1949,7 +1987,8 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
                 ))
                 self._jit_eval_fs[cache_key] = fn
             out, violated = fn(
-                params, self.feature_shards, self.adjacency_shards, seeds_dev
+                params, self.feature_shards, self.hub_leaves,
+                self.adjacency_shards, seeds_dev,
             )
             if not bool(violated):
                 return out
@@ -1971,7 +2010,8 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
         eval too — there is deliberately no replicated fallback here. A
         capacity overflow retries with doubled slack (a recompile, not a
         silent clip); covering fanouts reproduce the replicated trainer's
-        deterministic eval exactly (test-pinned)."""
+        deterministic eval exactly (test-pinned; floyd sampling only —
+        windowed never covers beyond one 128-lane window per parent)."""
         nodes = np.asarray(nodes)
         s = self.mesh.shape[self.axis]
         pad = (-len(nodes)) % s

@@ -109,6 +109,12 @@ def run_preset(
     sampling). ``resume_path``: restore a checkpoint written by
     ``checkpoint_path`` and continue training from it (checkpoint-restart,
     SURVEY.md §5.3/5.4)."""
+    if hub_cache_rows and mode not in ("sharded", "fully-sharded"):
+        raise ValueError(
+            "hub_cache_rows is a sharded-trainer lever (the single-table "
+            f"modes gather locally); got mode={mode!r} — drop the flag or "
+            "use mode='sharded'/'fully-sharded'"
+        )
     config = PRESETS[name]
     if overrides:
         train_over = {k: v for k, v in overrides.items()

@@ -337,8 +337,8 @@ class UnsupervisedShardedTrainer(_ShardedFeatureTrainer):
                 ))
                 self._jit_probe_emb_dense = None
             emb, violated = self._jit_probe_emb(
-                state.params, self.feature_shards, self._graph_nofeat,
-                self.edge_slice_leaves, seeds_dev,
+                state.params, self.feature_shards, self.hub_leaves,
+                self._graph_nofeat, self.edge_slice_leaves, seeds_dev,
             )
             if bool(violated):
                 warnings.warn(
@@ -352,8 +352,8 @@ class UnsupervisedShardedTrainer(_ShardedFeatureTrainer):
                         return_embeddings=True,
                     ))
                 emb, _ = self._jit_probe_emb_dense(
-                    state.params, self.feature_shards, self._graph_nofeat,
-                    self.edge_slice_leaves, seeds_dev,
+                    state.params, self.feature_shards, self.hub_leaves,
+                    self._graph_nofeat, self.edge_slice_leaves, seeds_dev,
                 )
             emb = emb[: len(all_nodes)]
             emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)

@@ -622,6 +622,18 @@ def test_hub_cache_absorbs_skew_without_retry():
         state, loss = hub.step(hub.init_state(), seeds)
     assert np.isfinite(float(loss))
 
+    # EVAL rides the cache too (round-4 review finding): the sampled eval
+    # on the same skewed nodes must stay on the compact path — no
+    # dense-fallback warning.
+    hub_ev = ShardedFeatureTrainer(
+        model, g, dataclasses.replace(cfg, eval_fanouts=(4,)), mesh,
+        gather_mode="compact", capacity_slack=1.0, hub_cache_rows=4,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        preds = hub_ev.predict(hub_ev.init_state(), seeds[:64])
+    assert np.asarray(preds).shape[0] == 64
+
 
 @pytest.mark.parametrize("fully", [False, True])
 def test_hub_cache_exact_parity(fully):
@@ -745,3 +757,27 @@ def test_distributed_windowed_sampler_uniform_marginals():
     rel = counts[1:hub_deg + 1] / counts[1:hub_deg + 1].mean()
     # 8 shards x 2 requests x 150 draws x 4 = 9600 picks, ~32/neighbor.
     assert rel.min() > 0.45 and rel.max() < 1.7
+
+
+def test_route_requests_sort_formulation_exact(graph, monkeypatch):
+    """Above _RANK_SORT_MIN_SHARDS the router switches to the stable-sort
+    rank (S-independent work); force it on the 8-shard mesh and pin the
+    compact gather's exactness through that branch."""
+    from graphsage_tpu.parallel import feature_store as fs
+
+    monkeypatch.setattr(fs, "_RANK_SORT_MIN_SHARDS", 4)
+    mesh = make_mesh({"data": 8})
+    store = shard_features(graph.features, 8)
+    rng = np.random.default_rng(9)
+    ids = rng.integers(0, graph.num_nodes, size=(8, 24)).astype(np.int32)
+
+    def f(shard, ids_local):
+        return fs.sharded_row_gather_compact(
+            "data", shard[0], ids_local[0], 24
+        )[None]
+
+    out = shard_map(
+        f, mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"),
+    )(store.shards, jnp.asarray(ids))
+    want = np.asarray(graph.features)[ids.reshape(-1)].reshape(8, 24, -1)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6, atol=1e-6)

@@ -270,9 +270,7 @@ def test_windowed_mean_estimator_unbiased_with_tiny_edge_window():
 
 
 def test_windowed_zero_degree_and_shapes():
-    g = _star_graph(40)
-    # Node 5 is a leaf in the DIRECTED sense? build_graph mirrors edges, so
-    # use an isolated extra node instead.
+    # Isolated nodes (3, 4) must come back fully masked with k-wide shapes.
     from graphsage_tpu.data.graph import build_graph
 
     edges = np.array([[0, 1], [0, 2]])
