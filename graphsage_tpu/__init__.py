@@ -37,6 +37,7 @@ from graphsage_tpu.parallel.feature_store import (
     FullyShardedTrainer,
     ShardedFeatureTrainer,
     build_hub_cache,
+    hub_request_fraction,
     shard_features_from_loader,
     sharded_comm_stats,
 )
@@ -88,6 +89,7 @@ __all__ = [
     "ShardedTrainer",
     "ShardedFeatureTrainer",
     "build_hub_cache",
+    "hub_request_fraction",
     "FullyShardedTrainer",
     "sharded_comm_stats",
     "auto_partition_plan",

@@ -754,6 +754,27 @@ def sharded_comm_stats(
     return out
 
 
+def hub_request_fraction(degrees, num_hub_rows: int) -> float:
+    """Expected fraction of feature-gather requests a ``num_hub_rows``
+    frozen hub cache resolves locally — the capacity-planning number for
+    lowering ``capacity_slack`` safely.
+
+    Sampled-frontier requests hit node ``v`` in proportion to its degree
+    (a uniform neighbor draw lands on ``v`` once per incident edge), so
+    the covered fraction is the top-H nodes' share of total degree. On a
+    Zipf-ish graph a few hundred rows often cover a large share; the
+    residual requests are near-uniform, which is exactly what the
+    per-pair capacity formula assumes.
+    """
+    deg = np.asarray(degrees, np.float64)
+    total = deg.sum()
+    if total <= 0:
+        return 0.0
+    h = int(num_hub_rows)
+    top = np.sort(deg)[::-1][:h]
+    return float(top.sum() / total)
+
+
 def build_hub_cache(features, degrees, num_hub_rows: int):
     """Frozen hub cache: the ``num_hub_rows`` highest-degree nodes' feature
     rows, replicated on every chip.

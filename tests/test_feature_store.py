@@ -781,3 +781,13 @@ def test_route_requests_sort_formulation_exact(graph, monkeypatch):
     )(store.shards, jnp.asarray(ids))
     want = np.asarray(graph.features)[ids.reshape(-1)].reshape(8, 24, -1)
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6, atol=1e-6)
+
+
+def test_hub_request_fraction_math():
+    from graphsage_tpu.parallel.feature_store import hub_request_fraction
+
+    deg = np.array([10, 5, 3, 1, 1], np.int32)
+    np.testing.assert_allclose(hub_request_fraction(deg, 1), 0.5)
+    np.testing.assert_allclose(hub_request_fraction(deg, 2), 0.75)
+    np.testing.assert_allclose(hub_request_fraction(deg, 5), 1.0)
+    assert hub_request_fraction(np.zeros(4), 2) == 0.0
