@@ -334,3 +334,29 @@ def test_windowed_fully_sharded_trains_and_topk_rejected():
                       fanouts=(3, 3), sampling="topk"),
             g, cfg, mesh,
         )
+
+
+@pytest.mark.parametrize("mode", [
+    dict(concat_self=True),
+    dict(self_loop=True),
+    dict(aggregator="maxpool", pool_dim=8, concat_self=True),
+    dict(aggregator="lstm", pool_dim=8, concat_self=True),
+])
+def test_windowed_mode_interactions_train_finite(mode):
+    """windowed x {concat_self, self_loop, maxpool, lstm}: the sampler
+    only changes WHICH neighbors arrive, so every aggregator/self-mode
+    combination must train finitely (column-0 self layout preserved)."""
+    from graphsage_tpu.data.synthetic import power_law_graph
+    from graphsage_tpu.models.graphsage import GraphSAGE
+    from graphsage_tpu.train.config import TrainConfig
+    from graphsage_tpu.train.trainer import Trainer
+
+    g = power_law_graph(num_nodes=300, num_edges=1500, num_feats=12,
+                        num_classes=3, seed=4, homophily=0.8)
+    model = GraphSAGE(in_dim=12, num_classes=3, hidden_dims=(8, 8),
+                      fanouts=(3, 3), sampling="windowed", **mode)
+    res = Trainer(model, g, TrainConfig(
+        batch_size=32, num_steps=6, log_every=0, test_size=60, val_size=40,
+        optimizer="adam", learning_rate=0.01,
+    )).run(log=None)
+    assert np.isfinite(res["losses"]).all()
