@@ -14,6 +14,7 @@ EXAMPLES = [
     ("04_serving.py", []),
     ("05_pod_ingestion.py", []),
     ("06_inductive.py", []),
+    ("07_skew_and_samplers.py", []),
 ]
 
 
