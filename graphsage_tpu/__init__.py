@@ -23,6 +23,7 @@ from graphsage_tpu.data.graph import (
     induced_subgraph,
     quantize_graph,
     relabel_graph,
+    with_cached_layer0,
 )
 from graphsage_tpu.ops.quantize import QuantizedTable, dequantize, quantize_features
 from graphsage_tpu.data.loaders import (
@@ -65,6 +66,7 @@ __all__ = [
     "build_graph",
     "relabel_graph",
     "quantize_graph",
+    "with_cached_layer0",
     "induced_subgraph",
     "disjoint_union",
     "QuantizedTable",

@@ -76,6 +76,18 @@ class Graph:
     # True when the adjacency is symmetric (built undirected, no per-row
     # truncation) — enables the fused Pallas SpMM backward (A == A^T).
     symmetric: bool = struct.field(pytree_node=False, default=True)
+    # Optional precomputed full-neighborhood feature means D^-1 A X
+    # ([N, F], or a QuantizedTable), built ONCE by
+    # :func:`with_cached_layer0`. Valid because the feature table is frozen
+    # (reference model.py:70-71, requires_grad=False — quirk Q12): the
+    # deepest-hop aggregate never changes across steps, so
+    # ``GraphSAGE(layer0="cached")`` gathers these rows instead of sampling
+    # + gathering + meaning B*prod(fanouts) raw rows every step.
+    layer0_cache: jax.Array | None = None
+    # Whether layer0_cache rows include the self feature in the mean
+    # (``(sum + x_v) / (deg + 1)`` — the GCN-style self_loop semantics);
+    # GraphSAGE.forward validates this against the model's self_loop flag.
+    layer0_cache_self_loop: bool = struct.field(pytree_node=False, default=False)
 
     def __repr__(self) -> str:  # keep pytree printing readable
         return (
@@ -328,6 +340,154 @@ def quantize_graph(graph: Graph) -> Graph:
     if isinstance(feats, np.ndarray) and not feats.flags.c_contiguous:
         feats = np.ascontiguousarray(feats)
     return graph.replace(features=quantize_features(feats))
+
+
+def with_cached_layer0(
+    graph: Graph,
+    self_loop: bool = False,
+    dtype=None,
+    quantize: bool = False,
+    edge_block: int = 2_000_000,
+) -> Graph:
+    """Attach the precomputed full-neighborhood feature means
+    ``M = D^-1 A X`` (``(A X + X) / (D + 1)`` with ``self_loop=True``) as
+    ``graph.layer0_cache`` — the one-time build behind
+    ``GraphSAGE(layer0="cached")``.
+
+    Why this is exact: the feature table is FROZEN (reference
+    model.py:70-71, ``requires_grad=False`` — quirk Q12) and the masked
+    mean is linear, so the deepest hop's neighbor aggregate is a constant
+    per node. Sampling it every step (the reference's default path,
+    aggregators.py:38-64) is an unbiased *estimator* of these rows; the
+    cache IS the estimand — the reference's own ``num_sample=None``
+    semantics (quirk Q7) applied to the input-closest layer. Per step,
+    the ``B * prod(fanouts)`` deepest-hop row gathers (and the whole
+    deepest sampling hop) collapse to one ``[hop L-1]``-row gather; the
+    backward scatter into the feature table disappears because ``M`` is
+    not differentiated (docs/ROOFLINE.md §5.1b).
+
+    Zero-degree rows are 0 (the guarded-mean policy, quirk Q4).
+    ``dtype`` defaults to the dense feature dtype (bf16 features keep a
+    bf16 cache); ``quantize=True`` stores the cache as an int8
+    :class:`~graphsage_tpu.ops.quantize.QuantizedTable` instead (the
+    capacity lever for int8 graphs). Host graphs build in blocked numpy
+    (CSR ``np.add.reduceat``); device graphs in an edge-chunked
+    segment-sum scan (``edge_block`` bounds the per-chunk transient).
+    Idempotent per ``self_loop`` flavor.
+    """
+    from graphsage_tpu.ops.quantize import (
+        dense_host_view,
+        dequantize,
+        gather_dequant,
+        is_quantized,
+        quantize_features,
+        quantize_rows,
+    )
+
+    if graph.layer0_cache is not None:
+        if bool(graph.layer0_cache_self_loop) != bool(self_loop):
+            raise ValueError(
+                "graph already carries a layer0_cache with "
+                f"self_loop={graph.layer0_cache_self_loop} — rebuild from "
+                "the base graph (graph.replace(layer0_cache=None)) to "
+                "switch flavors"
+            )
+        return graph
+    reject_lazy_descriptor(graph.features, "with_cached_layer0")
+    quantized = is_quantized(graph.features)
+    n, e = graph.num_nodes, graph.num_edges
+
+    if graph.on_host:
+        feats = (
+            dense_host_view(graph.features)
+            if quantized
+            else np.asarray(graph.features)
+        )
+        if dtype is None:
+            dtype = np.float32 if quantized else feats.dtype
+        indptr = np.asarray(graph.indptr)
+        edge_dst = np.asarray(graph.edge_dst)
+        deg = np.asarray(graph.degrees).astype(np.float32)
+        f = feats.shape[1]
+        out = np.zeros((n, f), np.float32)
+        r0 = 0
+        while r0 < n:
+            # Node-range block whose CSR span stays under edge_block rows.
+            r1 = min(int(np.searchsorted(indptr, indptr[r0] + edge_block)), n)
+            r1 = max(r1, r0 + 1)
+            s0, s1 = int(indptr[r0]), int(indptr[r1])
+            rows = feats[edge_dst[s0:s1]].astype(np.float32)
+            # Pad one zero row so empty trailing segments index in-range;
+            # np.add.reduceat returns garbage for empty segments (it yields
+            # a[start]), which the degree-0 zeroing below overwrites.
+            rows = np.concatenate([rows, np.zeros((1, f), np.float32)])
+            starts = np.minimum(indptr[r0:r1] - s0, len(rows) - 1)
+            sums = np.add.reduceat(rows, starts, axis=0)
+            blk_deg = deg[r0:r1]
+            sums[blk_deg == 0] = 0.0
+            if self_loop:
+                out[r0:r1] = (sums + feats[r0:r1].astype(np.float32)) / (
+                    blk_deg[:, None] + 1.0
+                )
+            else:
+                out[r0:r1] = sums / np.maximum(blk_deg[:, None], 1.0)
+            r0 = r1
+        cache = (
+            quantize_features(out) if quantize else out.astype(dtype)
+        )
+        return graph.replace(
+            layer0_cache=cache, layer0_cache_self_loop=bool(self_loop)
+        )
+
+    import jax
+    import jax.numpy as jnp
+
+    feats = graph.features
+    if dtype is None:
+        dtype = jnp.float32 if quantized else feats.dtype
+    e_pad = graph.edge_dst.shape[0]
+    nblk = max(-(-e_pad // edge_block), 1)
+    pad_to = nblk * edge_block
+    extra = pad_to - e_pad
+
+    def _pad(a, fill):
+        return jnp.concatenate([a, jnp.full((extra,), fill, a.dtype)]) if extra else a
+
+    dst = _pad(graph.edge_dst, 0).reshape(nblk, edge_block)
+    src = _pad(graph.edge_src, max(n - 1, 0)).reshape(nblk, edge_block)
+    msk = _pad(graph.edge_mask, False).reshape(nblk, edge_block)
+    dense_width = feats.shape[-1]  # QuantizedTable mirrors dense .shape
+
+    @jax.jit
+    def build(feats, dst, src, msk, deg):
+        def body(acc, blk):
+            d, s, m = blk
+            rows = (
+                gather_dequant(feats, d)
+                if quantized
+                else jnp.take(feats, d, axis=0).astype(jnp.float32)
+            )
+            return acc + jax.ops.segment_sum(
+                rows * m.astype(jnp.float32)[:, None], s, num_segments=n
+            ), None
+
+        acc = jnp.zeros((n, dense_width), jnp.float32)
+        acc, _ = jax.lax.scan(body, acc, (dst, src, msk))
+        d32 = deg.astype(jnp.float32)[:, None]
+        if self_loop:
+            x32 = (
+                dequantize(feats, jnp.float32)
+                if quantized
+                else feats.astype(jnp.float32)
+            )
+            return (acc + x32) / (d32 + 1.0)
+        return acc / jnp.maximum(d32, 1.0)
+
+    out = build(feats, dst, src, msk, graph.degrees)
+    cache = quantize_rows(out) if quantize else out.astype(dtype)
+    return graph.replace(
+        layer0_cache=cache, layer0_cache_self_loop=bool(self_loop)
+    )
 
 
 def induced_subgraph(graph: Graph, nodes: np.ndarray, **build_kwargs) -> Graph:

@@ -149,6 +149,18 @@ class GraphSAGE:
     #     DISTRIBUTED (per-shard edge slice + all_gather of the projected
     #     rows — parallel/feature_store.py), and the halo FullGraphTrainer
     #     is the full-batch analog.
+    #   "cached"  — the frozen-feature escape (ROOFLINE §5.1b): the feature
+    #     table never trains (reference model.py:70-71, quirk Q12) and the
+    #     mean is linear, so the deepest hop's full-neighborhood aggregate
+    #     D^-1 A X is a CONSTANT per node — precomputed once by
+    #     data.graph.with_cached_layer0 and gathered per step at the hop
+    #     layer 1 consumes. The deepest sampling hop, its B*prod(fanouts)
+    #     row gathers, AND the backward scatter into the table all
+    #     disappear (M is not differentiated). Semantics: the reference's
+    #     own num_sample=None mode (quirk Q7) at the input-closest layer —
+    #     sampled estimator's exact expectation, equal to "sampled" at
+    #     covering fanouts (test-pinned), lower variance below them.
+    #     Mean aggregator only (linearity is what makes the cache exact).
     layer0: str = "sampled"
     # Multi-label classification (the paper's PPI protein-function family;
     # no reference counterpart — reference model.py:35-37 is single-label
@@ -187,7 +199,7 @@ class GraphSAGE:
             raise ValueError("hidden_dims and fanouts must have one entry per layer")
         if self.self_loop and self.concat_self:
             raise ValueError("self_loop and concat_self are mutually exclusive")
-        if self.layer0 not in ("sampled", "full"):
+        if self.layer0 not in ("sampled", "full", "cached"):
             raise ValueError(f"unknown layer0 mode {self.layer0!r}")
         if self.aggregator == "lstm" and self.layer0 == "full":
             raise ValueError(
@@ -195,6 +207,13 @@ class GraphSAGE:
                 "only: the shared-table build is a segment reduction over "
                 "the CSR edge list, and an LSTM over every node's FULL "
                 "neighbor sequence has no such scatter-free form"
+            )
+        if self.layer0 == "cached" and self.aggregator != "mean":
+            raise ValueError(
+                "layer0='cached' requires the mean aggregator: the cache "
+                "is exact only because the mean is linear in the frozen "
+                "features — maxpool's trainable pooling MLP and the LSTM "
+                "recurrence cannot be precomputed"
             )
         if self.final_activation not in ("relu", "linear"):
             raise ValueError(
@@ -330,13 +349,15 @@ class GraphSAGE:
     def sample(self, key: jax.Array, graph: Graph, seeds: jax.Array) -> Frontier:
         """Expand seed nodes into per-hop frontiers (static shapes).
 
-        With ``layer0="full"`` the deepest hop is skipped — layer 0 runs
-        full-graph, so the frontier stops at the hop layer 1 consumes."""
+        With ``layer0="full"`` or ``"cached"`` the deepest hop is skipped —
+        layer 0 reads a per-node table (recomputed per step / frozen
+        precompute respectively), so the frontier stops at the hop
+        layer 1 consumes."""
         seeds = seeds.reshape(-1)
         ids: list[jax.Array] = [seeds]
         masks: list[jax.Array] = [jnp.ones(seeds.shape, dtype=bool)]
         L = self.num_layers
-        hops = L - 1 if self.layer0 == "full" else L
+        hops = L - 1 if self.layer0 in ("full", "cached") else L
         hop_keys = jax.random.split(key, max(hops, 1))
         for h in range(1, hops + 1):
             fanout = self.fanouts[L - h]
@@ -534,7 +555,50 @@ class GraphSAGE:
             )
         L = self.num_layers
         start_l = 0
-        if self.layer0 == "full":
+        if self.layer0 == "cached":
+            # Frozen-feature cache: the deepest hop's full-neighborhood mean
+            # D^-1 A X was precomputed ONCE (data.graph.with_cached_layer0 —
+            # exact, quirk Q12 + linearity), so layer 0 is gather + combine +
+            # project at the hop layer 1 consumes. No deepest sampling hop,
+            # no B*prod(fanouts) raw-row gather, and no backward scatter
+            # (the cache is not differentiated).
+            table = layer0_table
+            if table is None:
+                if graph is None or graph.layer0_cache is None:
+                    raise ValueError(
+                        "layer0='cached' needs the precomputed aggregate "
+                        "table: pass forward(..., graph=...) where graph was "
+                        "built with with_cached_layer0(graph), or inject "
+                        "layer0_table= directly"
+                    )
+                if bool(graph.layer0_cache_self_loop) != self.self_loop:
+                    raise ValueError(
+                        "graph.layer0_cache was built with self_loop="
+                        f"{graph.layer0_cache_self_loop} but the model has "
+                        f"self_loop={self.self_loop} — rebuild the cache "
+                        "with the matching flavor"
+                    )
+                table = graph.layer0_cache
+            agg = gather_fn(table, frontier.ids[L - 1], frontier.masks[L - 1])
+            self_h = (
+                gather_fn(features, frontier.ids[L - 1], frontier.masks[L - 1])
+                if self.concat_self
+                else None
+            )
+            h = apply_sage_layer(
+                params.layers[0],
+                self_h,
+                None,
+                None,
+                aggregator="mean",
+                concat_self=self.concat_self,
+                compute_dtype=self.compute_dtype,
+                precision=self.matmul_precision,
+                precomputed_agg=agg,
+                activation=self.layer_activation(0),
+            )
+            start_l = 1
+        elif self.layer0 == "full":
             # Shared-table layer 0: one full-graph CSR layer over ALL nodes
             # (scatter-free backward on symmetric adjacency for the mean),
             # then the upper layers gather hop rows from the [N, d0] table.

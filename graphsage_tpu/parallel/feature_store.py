@@ -598,11 +598,16 @@ def compact_sites(model: GraphSAGE, frontier) -> list:
     exchange will route."""
     L = model.num_layers
     sites = []
-    if model.layer0 == "full":
-        # One gather from the [N, d0] layer-0 table at the hop layer 1
-        # consumes (forward's layer0="full" branch) — every aggregator and
-        # self mode routes through this single site.
-        return [(frontier.ids[L - 1], frontier.masks[L - 1])]
+    if model.layer0 in ("full", "cached"):
+        # One gather from the layer-0 table at the hop layer 1 consumes
+        # (forward's layer0="full"/"cached" branches): [N, d0] recomputed
+        # per step for "full", the frozen [N, F] aggregate cache for
+        # "cached". cached+concat_self adds the raw self-feature gather at
+        # the same hop.
+        sites = [(frontier.ids[L - 1], frontier.masks[L - 1])]
+        if model.layer0 == "cached" and model.concat_self:
+            sites.append((frontier.ids[L - 1], frontier.masks[L - 1]))
+        return sites
     if model.aggregator == "mean":
         n_out = frontier.ids[L - 1].shape[0]
         # Structural contract with GraphSAGE.sample (round-3 VERDICT item
@@ -639,7 +644,7 @@ def _frontier_slot_sizes(model: GraphSAGE, b_local: int) -> list[int]:
     static shapes :meth:`GraphSAGE.sample` produces, computed without
     tracing (integer fanouts only)."""
     L = model.num_layers
-    hops = L - 1 if model.layer0 == "full" else L
+    hops = L - 1 if model.layer0 in ("full", "cached") else L
     sizes = [b_local]
     for h in range(1, hops + 1):
         k = model.fanouts[L - h]
@@ -690,6 +695,14 @@ def sharded_comm_stats(
         # compute dtype) — F/d0 times less than feature rows.
         table_dtype = model.compute_dtype or feature_dtype
         row_bytes = model.hidden_dims[0] * jnp.dtype(table_dtype).itemsize
+    elif model.layer0 == "cached":
+        # Gather site(s) read F-wide frozen-aggregate rows (built in the
+        # compute dtype; quantized graphs quantize the cache too).
+        if quantized:
+            row_bytes = model.in_dim + 4
+        else:
+            table_dtype = model.compute_dtype or feature_dtype
+            row_bytes = model.in_dim * jnp.dtype(table_dtype).itemsize
     elif model.injected_layer0_project_first(quantized):
         row_bytes = model.hidden_dims[0] * 4  # projected table is f32
     elif quantized:
@@ -970,6 +983,26 @@ class ShardedFeatureTrainer(Trainer):
                 f"batch_size {config.batch_size} must be divisible by the "
                 f"{axis!r} axis size {s}"
             )
+        if model.layer0 == "cached" and graph.layer0_cache is None:
+            # One-time frozen-aggregate build (exact — quirk Q12 + mean
+            # linearity), done here so the cache shards below come from the
+            # same host build the single-device trainer would use. Quantized
+            # graphs quantize the cache too (same capacity story, and the
+            # cross-shard exchange then ships int8 rows + scales).
+            if feature_store is not None:
+                raise ValueError(
+                    "layer0='cached' needs the full feature table to build "
+                    "the aggregate cache, but this trainer was given a "
+                    "loader feature_store (no host ever held the full "
+                    "[N, F] array) — precompute the cache offline and "
+                    "attach it to the graph, or use layer0='sampled'"
+                )
+            from graphsage_tpu.data.graph import with_cached_layer0
+
+            graph = with_cached_layer0(
+                graph, self_loop=model.self_loop,
+                quantize=is_quantized(graph.features),
+            )
         # The source graph (host numpy or device) feeds the host-side
         # sharding splits and the transient full-graph eval fallback; the
         # resident device payload is whatever _place_graph keeps.
@@ -1046,6 +1079,23 @@ class ShardedFeatureTrainer(Trainer):
                 graph, s, sharding=self._shard_sharding
             )
             self.edge_slice_leaves = self.edge_slices.leaves
+        elif model.layer0 == "cached":
+            # The frozen aggregate table shards exactly like the features
+            # (same node-range ownership rule => same row padding, which the
+            # owner arithmetic of the gather exchange relies on). The shard
+            # stack rides the edge_slice_leaves payload slot, like the halo
+            # plan does.
+            self.edge_slices = None
+            self._cache_store = shard_features(
+                graph.layer0_cache, s, sharding=self._shard_sharding
+            )
+            assert (
+                self._cache_store.rows_per_shard == self.features.rows_per_shard
+            )
+            self._cache_quantized = is_quantized(self._cache_store.shards)
+            self.edge_slice_leaves = tuple(
+                jax.tree_util.tree_leaves(self._cache_store.shards)
+            )
         else:
             self.edge_slices = None
             self.edge_slice_leaves = ()
@@ -1066,15 +1116,18 @@ class ShardedFeatureTrainer(Trainer):
                     "hub_cache_rows needs the full feature table; this "
                     "trainer was built from a loader feature_store"
                 )
-            if model.layer0 == "full" or model.injected_layer0_project_first(
+            if model.layer0 in (
+                "full", "cached"
+            ) or model.injected_layer0_project_first(
                 is_quantized(self._source_graph.features)
             ):
                 raise ValueError(
                     "hub_cache_rows requires the raw-feature gather path: "
                     "the injected project-first and layer0='full' modes "
-                    "gather from params-dependent tables a frozen hub "
-                    "cache cannot track (set project_first=False or skip "
-                    "the cache)"
+                    "gather from params-dependent tables, and "
+                    "layer0='cached' gathers aggregate-cache rows — a "
+                    "frozen hub cache of FEATURE rows cannot track either "
+                    "(set project_first=False or skip the cache)"
                 )
             lookup, rows = build_hub_cache(
                 self._source_graph.features, self._source_graph.degrees,
@@ -1098,7 +1151,10 @@ class ShardedFeatureTrainer(Trainer):
         feature payload."""
         feats = graph.features
         blanked = graph.replace(
-            features=np.zeros((1, graph.num_features), dtype=feats.dtype)
+            features=np.zeros((1, graph.num_features), dtype=feats.dtype),
+            # The cached layer-0 table is graph-sized too — it lives ONLY in
+            # the sharded store built in __init__, never replicated.
+            layer0_cache=None,
         )
         return blanked.to_device()
 
@@ -1148,6 +1204,14 @@ class ShardedFeatureTrainer(Trainer):
         closure differs (all_gather + local edge slice, or the halo
         boundary exchange)."""
         model = self.model
+        if model.layer0 == "cached":
+            # Params-independent: the payload IS the local table slice
+            # (dense [Np, F], or int8 q + scale leaves).
+            leaves = tuple(a[0] for a in payload_local)
+            table = (
+                QuantizedTable(*leaves) if self._cache_quantized else leaves[0]
+            )
+            return lambda p, feats: table
         if model.layer0 != "full":
             return None
         if self.layer0_exchange == "halo":
@@ -1226,7 +1290,7 @@ class ShardedFeatureTrainer(Trainer):
             )
             table_fn = (
                 self._layer0_table_fn(edge_local)
-                if model.layer0 == "full"
+                if model.layer0 in ("full", "cached")
                 else None
             )
 
@@ -1342,7 +1406,7 @@ class ShardedFeatureTrainer(Trainer):
             )
             table_fn = (
                 self._layer0_table_fn(edge_local)
-                if model.layer0 == "full"
+                if model.layer0 in ("full", "cached")
                 else None
             )
             logits = model.forward(
@@ -1707,7 +1771,7 @@ def sharded_sample_frontier(
     axis: str,
     model: GraphSAGE,
     adj: ShardedAdjacency,
-    adj_leaves: tuple,  # (ell, deg, indptr, edge_dst) local [1, ...] leaves
+    adj_leaves: tuple,  # (ell, deg, indptr, edge_dst[, cache...]) local [1, ...] leaves
     seeds_local: jax.Array,  # [B_local]
     key: jax.Array,
     slack: float,
@@ -1715,16 +1779,17 @@ def sharded_sample_frontier(
     """Per-shard frontier expansion mirroring :meth:`GraphSAGE.sample`,
     with every hop's neighbor lookup distributed (call inside shard_map).
     Returns the shard-local Frontier and an overflow flag."""
-    ell, deg, indptr, edge_dst = (a[0] for a in adj_leaves)
+    # layer0="cached" rides its table shards after the 4 adjacency leaves.
+    ell, deg, indptr, edge_dst = (a[0] for a in adj_leaves[:4])
     s = jax.lax.axis_size(axis)
     seeds_local = seeds_local.reshape(-1)
     ids = [seeds_local]
     masks = [jnp.ones(seeds_local.shape, bool)]
     violated = jnp.zeros((), bool)
     L = model.num_layers
-    # layer0="full" skips the deepest hop (layer 0 runs full-graph over the
-    # sharded node ranges instead) — mirrors GraphSAGE.sample exactly.
-    hops = L - 1 if model.layer0 == "full" else L
+    # layer0="full"/"cached" skip the deepest hop (layer 0 reads a per-node
+    # table instead) — mirrors GraphSAGE.sample exactly.
+    hops = L - 1 if model.layer0 in ("full", "cached") else L
     hop_keys = jax.random.split(key, max(hops, 1))
     for h in range(1, hops + 1):
         fanout = model.fanouts[L - h]
@@ -1794,6 +1859,13 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
             self.adjacency.ell, self.adjacency.degrees,
             self.adjacency.indptr, self.adjacency.edge_dst,
         )
+        if model.layer0 == "cached":
+            # The frozen-aggregate table shards (built in the parent init,
+            # riding edge_slice_leaves there) travel after the 4 adjacency
+            # leaves here — one payload tuple per step, sliced apart inside
+            # shard_map (sharded_sample_frontier reads [:4], the layer-0
+            # table fn reads [4:]).
+            self.adjacency_shards = self.adjacency_shards + self.edge_slice_leaves
         self._jit_eval_fs: dict = {}  # keyed by capacity slack (static)
 
     def _place_graph(self, graph):
@@ -1817,10 +1889,18 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
         leaves ``(ell, deg, indptr, edge_dst)`` — the COO edge slice is
         derived in-trace from the local CSR (no duplicate edges on chip),
         then delegates to :meth:`_layer0_table_fn`. Call inside shard_map;
-        returns None when layer0 is sampled."""
+        returns None when layer0 is sampled. ``layer0="cached"`` reads its
+        (params-independent) table slice from the leaves after the 4
+        adjacency ones instead."""
+        if self.model.layer0 == "cached":
+            leaves = adj_local[4:]
+            table = (
+                QuantizedTable(*leaves) if self._cache_quantized else leaves[0]
+            )
+            return lambda p, feats: table
         if self.model.layer0 != "full":
             return None
-        _ell, deg, indptr, edge_dst = adj_local
+        _ell, deg, indptr, edge_dst = adj_local[:4]
         e_src, e_dst, e_mask = local_edges_from_adjacency(
             indptr, edge_dst, self.adjacency.rows_per_shard
         )
@@ -1881,7 +1961,7 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
             mesh=self.mesh,
             in_specs=(
                 P(), P(self.axis), P(),
-                (P(self.axis),) * 4,
+                (P(self.axis),) * len(adj_leaves),
                 P(self.axis), P(self.axis),
             ),
             out_specs=(P(), P(), P()),
@@ -1977,7 +2057,7 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
             mesh=self.mesh,
             in_specs=(
                 P(), P(self.axis), P(),
-                (P(self.axis),) * 4,
+                (P(self.axis),) * len(adj_leaves),
                 P(self.axis),
             ),
             out_specs=(P(self.axis), P()),

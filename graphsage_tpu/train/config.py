@@ -31,8 +31,10 @@ class ModelConfig:
     # Project-then-aggregate reordering for the mean aggregator (exact math;
     # see GraphSAGE.project_first). "auto" | True | False.
     project_first: object = "auto"
-    # Layer-0 mode: "sampled" | "full" (shared-table layer 0 — see
-    # GraphSAGE.layer0; wins when num_edges < B * prod(fanouts)).
+    # Layer-0 mode: "sampled" | "full" (shared-table layer 0, recomputed
+    # per step; wins when num_edges < B * prod(fanouts)) | "cached" (the
+    # frozen-feature precompute D^-1 A X — no per-step deepest hop at all;
+    # see GraphSAGE.layer0 and data.graph.with_cached_layer0).
     layer0: str = "sampled"
     # Int8-quantize the frozen feature table at load time (ops/quantize.py):
     # 2-4x smaller resident table, int8 deepest-hop gathers; in the sharded
@@ -164,6 +166,19 @@ PRESETS: dict[str, ExperimentConfig] = {
         train=TrainConfig(batch_size=1024, num_steps=200,
                           eval_fanouts=(10, 25)),
     ),
+    # Pubmed with the CACHED layer 0 (frozen-feature precompute,
+    # ROOFLINE §5.1b): the deepest hop's full-neighborhood mean D^-1 A X is
+    # built once at trainer init, so the per-step 256K-row gather + backward
+    # scatter AND the per-step full-graph pass of layer0="full" both vanish.
+    # Exact reference num_sample=None semantics at the input-closest layer.
+    "pubmed_layer0_cached": ExperimentConfig(
+        name="pubmed_layer0_cached",
+        dataset="pubmed",
+        model=ModelConfig(hidden_dims=(128, 128), fanouts=(10, 25),
+                          layer0="cached"),
+        train=TrainConfig(batch_size=1024, num_steps=200,
+                          eval_fanouts=(10, 25)),
+    ),
     # Unsupervised GraphSAGE on the Cora shape (framework extension — the
     # reference is supervised-only): graph-context loss, adam, linear-probe
     # eval. SGD lr 0.7 is far too hot for the sigmoid-dot objective.
@@ -222,6 +237,19 @@ PRESETS: dict[str, ExperimentConfig] = {
         model=ModelConfig(
             hidden_dims=(256, 256, 256), fanouts=(5, 10, 15),
             compute_dtype="bfloat16",
+        ),
+        train=TrainConfig(batch_size=4096, num_steps=30, learning_rate=0.1,
+                          log_every=10, eval_fanouts=(5, 10, 15)),
+    ),
+    # The 1M flagship with the cached layer 0: the 38 ms deepest-hop gather
+    # and the deepest sampling hop disappear (ROOFLINE §5.1b) — the fastest
+    # exact-expectation configuration of this shape on one chip.
+    "powerlaw_1m_layer0_cached": ExperimentConfig(
+        name="powerlaw_1m_layer0_cached",
+        dataset="powerlaw_1m",
+        model=ModelConfig(
+            hidden_dims=(256, 256, 256), fanouts=(5, 10, 15),
+            compute_dtype="bfloat16", layer0="cached",
         ),
         train=TrainConfig(batch_size=4096, num_steps=30, learning_rate=0.1,
                           log_every=10, eval_fanouts=(5, 10, 15)),

@@ -72,6 +72,12 @@ class Trainer:
 
     def __init__(self, model: GraphSAGE, graph: Graph, config: TrainConfig):
         self.model = model
+        if model.layer0 == "cached" and graph.layer0_cache is None:
+            # One-time build of the frozen deepest-hop aggregate table
+            # (exact — quirk Q12 + mean linearity; see with_cached_layer0).
+            from graphsage_tpu.data.graph import with_cached_layer0
+
+            graph = with_cached_layer0(graph, self_loop=model.self_loop)
         # Subclasses override _place_graph to control what (if anything) of
         # the graph becomes device-resident; the base trainer wants the
         # whole pytree on device (host graphs are placed once here).

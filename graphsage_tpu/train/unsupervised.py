@@ -251,7 +251,7 @@ class UnsupervisedShardedTrainer(_ShardedFeatureTrainer):
             )
             table_fn = (
                 self._layer0_table_fn(edge_local)
-                if model.layer0 == "full"
+                if model.layer0 in ("full", "cached")
                 else None
             )
             # Global masked-mean denominator OUTSIDE the differentiated fn
@@ -501,7 +501,7 @@ class UnsupervisedFullyShardedTrainer(_FullyShardedTrainer):
             # owner-folds it); pick/negative keys fold per shard so draws
             # decorrelate across the batch slices.
             walks, valid, violated = sharded_random_walk(
-                axis, adj, *al, seeds_l, wl, k_walk, slack,
+                axis, adj, *al[:4], seeds_l, wl, k_walk, slack,
             )
             pos, pair_mask = pick_positive_step(
                 jax.random.fold_in(k_pick, me), walks, valid, seeds_l
@@ -547,7 +547,7 @@ class UnsupervisedFullyShardedTrainer(_FullyShardedTrainer):
             shard_step,
             mesh=self.mesh,
             in_specs=(
-                P(), P(self.axis), P(), (P(self.axis),) * 4,
+                P(), P(self.axis), P(), (P(self.axis),) * len(adj_leaves),
                 P(self.axis), P(),
             ),
             out_specs=(P(), P(), P()),
