@@ -425,6 +425,36 @@ def main() -> None:
     powerlaw_1m_w = _try_row(lambda: _measure(
         graph_1m, _dc0.replace(model_1m, sampling="windowed"),
         batch=4096, steps_per_block=50, blocks=2), "powerlaw_1m_windowed")
+
+    # Cached layer-0 (data.graph.with_cached_layer0 + layer0="cached"):
+    # the feature table is frozen (reference model.py:70-71) and the mean
+    # aggregator linear, so the deepest hop's full-neighborhood mean
+    # D^-1 A X is a per-node CONSTANT — built once, amortized across the
+    # run; per step the deepest sampling hop, its 3.07M-row gather and
+    # the backward scatter all disappear (ROOFLINE §5.1b). edges_per_step
+    # counts only the per-step sampled hops (the deepest hop's work is
+    # genuinely gone, not hidden); exact_equivalent_edges_per_s divides
+    # the EXACT model's per-step edge work by the cached step time —
+    # valid because cached computes the sampled estimator's exact
+    # expectation at that hop (test-pinned equal at covering fanouts).
+    def _cached_1m_row():
+        from graphsage_tpu.data.graph import with_cached_layer0
+
+        t0 = time.time()
+        gc = with_cached_layer0(graph_1m)
+        np.asarray(jax.tree_util.tree_leaves(gc.layer0_cache)[0][:1])
+        build_sec = time.time() - t0
+        row = _measure(gc, _dc0.replace(model_1m, layer0="cached"),
+                       batch=4096, steps_per_block=50, blocks=2)
+        row["cache_build_sec"] = round(build_sec, 3)
+        if "error" not in powerlaw_1m:
+            row["step_speedup_vs_exact"] = round(
+                powerlaw_1m["sec_per_step"] / row["sec_per_step"], 3)
+            row["exact_equivalent_edges_per_s"] = (
+                powerlaw_1m["edges_per_step"] / row["sec_per_step"])
+        return row
+
+    powerlaw_1m_c = _try_row(_cached_1m_row, "powerlaw_1m_layer0_cached")
     del graph_1m
 
     # Full-batch training at the 100K power-law shape — the degree-bucketed
@@ -528,6 +558,7 @@ def main() -> None:
         "powerlaw_1m_nodes_20m_slots_3layer": 0.8,          # ln(32)=3.47
         "powerlaw_1m_int8_table": 0.8,
         "powerlaw_1m_windowed_sampling": 0.8,
+        "powerlaw_1m_layer0_cached": 0.8,
         "fullbatch_powerlaw_100k_2m_slots_2layer": 0.8,     # ln(16)=2.77
         "pubmed_layer0_full": 0.2,
         "cora_lstm": 0.5,            # ln(7)=1.95; CPU measured 1e-5 by
@@ -550,6 +581,7 @@ def main() -> None:
         "powerlaw_1m_nodes_20m_slots_3layer": powerlaw_1m,
         "powerlaw_1m_int8_table": powerlaw_1m_q,
         "powerlaw_1m_windowed_sampling": powerlaw_1m_w,
+        "powerlaw_1m_layer0_cached": powerlaw_1m_c,
         "fullbatch_powerlaw_100k_2m_slots_2layer": fullbatch,
         "pubmed_layer0_full": pubmed_l0,
         "cora_lstm": cora_lstm,
