@@ -7,6 +7,9 @@ LINQS files drop in unchanged). Mirrors reference graphsage/model.py
 run_cora: 2-layer mean aggregator, fanout 10/10, SGD lr 0.7, 100x256.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
+
 import argparse
 import sys
 import tempfile

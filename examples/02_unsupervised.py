@@ -7,6 +7,9 @@ embeddings; labels only ever reach the probe (never the gradient).
 The reference trains supervised-only — this is the paper's other mode.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
+
 import sys
 import tempfile
 

@@ -10,6 +10,9 @@ the three sampled tiers (docs/DISTRIBUTED.md):
   FullyShardedTrainer  — adjacency + features + batch all sharded
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
+
 import sys
 
 import jax

@@ -8,6 +8,9 @@ request is one row gather + head matmul (no sampling on the request
 path). See docs/SERVING.md for the sharded and int8 tiers.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
+
 import sys
 import tempfile
 

@@ -9,6 +9,9 @@ process's devices own (native C++ range parsers when built). On an
 M-process pod each host parses N/M rows — docs/DISTRIBUTED.md.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
+
 import sys
 import tempfile
 

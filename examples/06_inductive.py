@@ -9,6 +9,9 @@ graph, serve tomorrow's. The reference cannot express this — its layers
 bind the adjacency at construction.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
+
 import sys
 
 import numpy as np

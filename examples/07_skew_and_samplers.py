@@ -15,6 +15,9 @@ This example trains the same graph three ways and prints the step-loss
 trajectories plus the hub cache's planning numbers.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # run from anywhere
+
 import numpy as np
 
 import graphsage_tpu as gt

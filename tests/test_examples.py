@@ -15,6 +15,7 @@ EXAMPLES = [
     ("05_pod_ingestion.py", []),
     ("06_inductive.py", []),
     ("07_skew_and_samplers.py", []),
+    ("08_layer0_modes.py", []),
 ]
 
 
