@@ -324,6 +324,13 @@ def main(argv: Optional[list[str]] = None) -> None:
                         help="neighbor sampler: floyd (exact uniform, "
                         "default) | windowed (one CSR lane fetch per "
                         "parent, unbiased-mean semantics)")
+    parser.add_argument("--layer0", choices=("sampled", "full", "cached"),
+                        default=None,
+                        help="layer-0 formulation: sampled (the reference's "
+                        "estimator, default) | full (one full-graph pass "
+                        "per step; wins when E < B*prod(fanouts)) | cached "
+                        "(frozen-aggregate table built once — the deepest "
+                        "hop vanishes from the step; docs/ROOFLINE 5.1b)")
     parser.add_argument("--hub-cache-rows", type=int, default=0,
                         help="sharded modes: replicate this many top-degree "
                         "feature rows so hub-skewed requests bypass the "
@@ -362,6 +369,8 @@ def main(argv: Optional[list[str]] = None) -> None:
         overrides["quantize_features"] = True
     if args.sampling is not None:
         overrides["sampling"] = args.sampling
+    if args.layer0 is not None:
+        overrides["layer0"] = args.layer0
     if args.quiet:
         overrides["log_every"] = 0
 

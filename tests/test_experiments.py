@@ -46,6 +46,19 @@ def test_cli_main(synth_cora_root, tmp_path, capsys):
         main(["--preset", "nope"])
 
 
+def test_cli_layer0_override(synth_cora_root, capsys):
+    # --layer0 cached flows through to the model config; the trainer
+    # auto-builds the frozen-aggregate cache (trainer.py) so the preset
+    # needs no cached-specific dataset plumbing.
+    main([
+        "--preset", "cora", "--data-root", str(synth_cora_root),
+        "--layer0", "cached", "--steps", "3", "--batch-size", "16",
+        "--test-size", "100", "--val-size", "80", "--quiet",
+    ])
+    out = capsys.readouterr().out
+    assert "Validation F1:" in out
+
+
 def test_load_dataset_unknown():
     with pytest.raises(ValueError):
         load_dataset("no_such_dataset")
