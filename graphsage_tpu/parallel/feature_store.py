@@ -1116,22 +1116,45 @@ class ShardedFeatureTrainer(Trainer):
                     "hub_cache_rows needs the full feature table; this "
                     "trainer was built from a loader feature_store"
                 )
-            if model.layer0 in (
-                "full", "cached"
-            ) or model.injected_layer0_project_first(
-                is_quantized(self._source_graph.features)
+            if model.layer0 == "full" or (
+                model.layer0 != "cached"
+                and model.injected_layer0_project_first(
+                    is_quantized(self._source_graph.features)
+                )
             ):
                 raise ValueError(
-                    "hub_cache_rows requires the raw-feature gather path: "
-                    "the injected project-first and layer0='full' modes "
-                    "gather from params-dependent tables, and "
-                    "layer0='cached' gathers aggregate-cache rows — a "
-                    "frozen hub cache of FEATURE rows cannot track either "
-                    "(set project_first=False or skip the cache)"
+                    "hub_cache_rows requires a frozen gather table: the "
+                    "injected project-first and layer0='full' modes gather "
+                    "from params-DEPENDENT tables a frozen hub cache "
+                    "cannot track (set project_first=False or skip the "
+                    "cache)"
                 )
+            if model.layer0 == "cached":
+                # The aggregate cache is frozen too, so hub rows come from
+                # IT — exact for the same reason the feature hub is. Only
+                # the pure-mean mode: concat_self adds a second (raw
+                # self-feature) gather site through the SAME exchange
+                # closure, which one hub table would answer wrongly.
+                if model.concat_self:
+                    raise ValueError(
+                        "hub_cache_rows with layer0='cached' supports the "
+                        "pure-mean mode only: concat_self adds a raw "
+                        "self-feature gather site that shares the exchange "
+                        "closure with the cache-row site — one hub table "
+                        "cannot serve both (drop concat_self or the cache)"
+                    )
+                if is_quantized(self._source_graph.layer0_cache):
+                    raise ValueError(
+                        "hub_cache_rows with a QUANTIZED layer0 cache is "
+                        "unsupported (hub rows would need their own scale "
+                        "plumbing) — build the cache unquantized or skip "
+                        "the hub cache"
+                    )
+                hub_table = self._source_graph.layer0_cache
+            else:
+                hub_table = self._source_graph.features
             lookup, rows = build_hub_cache(
-                self._source_graph.features, self._source_graph.degrees,
-                self.hub_cache_rows,
+                hub_table, self._source_graph.degrees, self.hub_cache_rows,
             )
             self.hub_leaves = (
                 jax.device_put(jnp.asarray(lookup), self._repl),

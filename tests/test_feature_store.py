@@ -671,7 +671,7 @@ def test_hub_cache_rejects_params_dependent_tables():
                       log_every=0)
     pf_model = GraphSAGE(in_dim=48, num_classes=4, hidden_dims=(8, 8),
                          fanouts=(4, 4))  # 48 -> 8 projects first
-    with pytest.raises(ValueError, match="raw-feature gather path"):
+    with pytest.raises(ValueError, match="frozen gather table"):
         ShardedFeatureTrainer(pf_model, g, cfg, mesh, gather_mode="compact",
                               hub_cache_rows=8)
     raw_model = GraphSAGE(in_dim=8, num_classes=4, hidden_dims=(16, 16),

@@ -401,3 +401,60 @@ def test_cached_rejects_loader_feature_store(graph):
     with pytest.raises(ValueError, match="cache"):
         ShardedFeatureTrainer(model, gh, cfg, make_mesh({"data": 8}),
                               feature_store=store)
+
+
+def test_cached_hub_cache_exact_parity():
+    """The aggregate cache is frozen, so a hub cache built from ITS rows is
+    exact (round-5): hub/no-hub cached trainers must produce identical
+    losses step for step — the flagship mode and the skew lever compose."""
+    from graphsage_tpu.parallel.feature_store import ShardedFeatureTrainer
+    from graphsage_tpu.parallel.mesh import make_mesh
+
+    g = power_law_graph(num_nodes=200, num_edges=800, num_feats=8,
+                        num_classes=4, seed=2, homophily=0.8,
+                        placement="host")
+    model = GraphSAGE(in_dim=8, num_classes=4, hidden_dims=(16, 16),
+                      fanouts=(4, 4), layer0="cached")
+    cfg = TrainConfig(batch_size=32, num_steps=3, learning_rate=0.5,
+                      test_size=40, val_size=40, log_every=0,
+                      eval_fanouts=(4, 4))
+    mesh = make_mesh({"data": 8})
+    a = ShardedFeatureTrainer(model, g, cfg, mesh, gather_mode="compact",
+                              capacity_slack=8.0)
+    b = ShardedFeatureTrainer(model, g, cfg, mesh, gather_mode="compact",
+                              capacity_slack=8.0, hub_cache_rows=16)
+    assert b.memory_stats()["hub_cache_rows"] == 16
+    sa, sb = a.init_state(), b.init_state()
+    ita, itb = a.batches(), b.batches()
+    for _ in range(cfg.num_steps):
+        sa, la = a.step(sa, next(ita))
+        sb, lb = b.step(sb, next(itb))
+        np.testing.assert_allclose(float(la), float(lb), rtol=0, atol=0)
+    # eval rides the hub too
+    np.testing.assert_array_equal(
+        np.asarray(a.predict(sa, np.arange(32, dtype=np.int32))),
+        np.asarray(b.predict(sb, np.arange(32, dtype=np.int32))),
+    )
+
+
+def test_cached_hub_cache_guards(graph):
+    """concat_self (two sites share the exchange closure) and quantized
+    caches (hub rows would need scale plumbing) must fail loudly."""
+    from graphsage_tpu.parallel.feature_store import ShardedFeatureTrainer
+    from graphsage_tpu.parallel.mesh import make_mesh
+
+    gh = graph.to_host()
+    cfg = TrainConfig(batch_size=32, num_steps=1, test_size=60, val_size=60,
+                      log_every=0, eval_fanouts=(4, 4))
+    mesh = make_mesh({"data": 8})
+    with pytest.raises(ValueError, match="pure-mean"):
+        ShardedFeatureTrainer(
+            _model(graph, layer0="cached", concat_self=True), gh, cfg, mesh,
+            gather_mode="compact", hub_cache_rows=8,
+        )
+    gq = quantize_graph(gh)
+    with pytest.raises(ValueError, match="QUANTIZED"):
+        ShardedFeatureTrainer(
+            _model(graph, layer0="cached"), gq, cfg, mesh,
+            gather_mode="compact", hub_cache_rows=8,
+        )
