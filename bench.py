@@ -638,6 +638,16 @@ def main() -> None:
                             _reddit_nopf, 512, 8, quantized=True
                         )["gather_compact_bytes_per_chip_step"],
                     },
+                    # Flagship sharded-cached planning numbers: the cached
+                    # layer 0 drops the deepest hop from the exchange too
+                    # (the one gather site ships F-wide frozen-aggregate
+                    # rows — no per-step table-build exchange at all).
+                    "sharded_comm_volume_s8_powerlaw1m_cached": (
+                        sharded_comm_stats(
+                            _dc0.replace(model_1m, layer0="cached"),
+                            4096, 8, fully_sharded=True,
+                        )
+                    ),
                     "serving_table_tier_pubmed": serving,
                     # layer0="full" sharded: d0-wide gather rows + the
                     # per-step table-build exchange (all_gather of the

@@ -751,7 +751,7 @@ def sharded_comm_stats(
         samp = 0
         hop_detail = []
         L = model.num_layers
-        hops = L - 1 if model.layer0 == "full" else L
+        hops = L - 1 if model.layer0 in ("full", "cached") else L
         for h in range(1, hops + 1):
             q_h = sizes[h - 1]
             k = model.fanouts[L - h]

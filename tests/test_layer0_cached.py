@@ -384,6 +384,10 @@ def test_cached_comm_stats(graph):
     assert len(stats["sites"]) == 1
     m2 = _model(graph, layer0="cached", concat_self=True)
     assert len(sharded_comm_stats(m2, 32, 8)["sites"]) == 2
+    # fully_sharded sampling volume counts the cached frontier's hops
+    # (L-1), not L — a phantom deepest hop would overstate the traffic
+    full = sharded_comm_stats(model, 32, 8, fully_sharded=True)
+    assert len(full["sampling_hops"]) == model.num_layers - 1
 
 
 def test_cached_rejects_loader_feature_store(graph):

@@ -106,6 +106,27 @@ def test_sampled_mode_layer0_full(graph, trained):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_sampled_mode_layer0_cached(graph, trained):
+    """A layer0='cached' model serves through the sampled engine (the
+    frozen-aggregate cache rides the graph payload); at covering fanouts
+    cached + complete upper hops == the deterministic table tier."""
+    import dataclasses
+
+    from graphsage_tpu.data.graph import with_cached_layer0
+
+    model, _, st = trained
+    mc = dataclasses.replace(model, layer0="cached")
+    gc = with_cached_layer0(graph)
+    max_deg = int(np.asarray(graph.degrees).max())
+    eng = ServingEngine(mc, gc, st.params, mode="sampled",
+                        batch_buckets=(32,),
+                        eval_fanouts=(max_deg, max_deg))
+    eng_t = ServingEngine(model, graph, st.params, batch_buckets=(32,))
+    nodes = np.arange(32)
+    np.testing.assert_allclose(eng.logits(nodes), eng_t.logits(nodes),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_embed_surface(graph, trained):
     model, _, st = trained
     eng = ServingEngine(model, graph, st.params, batch_buckets=(16,))
