@@ -646,6 +646,7 @@ def main() -> None:
                         sharded_comm_stats(
                             _dc0.replace(model_1m, layer0="cached"),
                             4096, 8, fully_sharded=True,
+                            feature_dtype=jnp.bfloat16,  # the 1M table/cache
                         )
                     ),
                     "serving_table_tier_pubmed": serving,

@@ -392,6 +392,14 @@ def with_cached_layer0(
                 "the base graph (graph.replace(layer0_cache=None)) to "
                 "switch flavors"
             )
+        if bool(quantize) != is_quantized(graph.layer0_cache):
+            raise ValueError(
+                "graph already carries a "
+                f"{'quantized' if is_quantized(graph.layer0_cache) else 'dense'}"
+                f" layer0_cache but quantize={quantize} was requested — "
+                "rebuild from the base graph "
+                "(graph.replace(layer0_cache=None)) to switch"
+            )
         return graph
     reject_lazy_descriptor(graph.features, "with_cached_layer0")
     quantized = is_quantized(graph.features)
@@ -412,9 +420,13 @@ def with_cached_layer0(
         out = np.zeros((n, f), np.float32)
         r0 = 0
         while r0 < n:
-            # Node-range block whose CSR span stays under edge_block rows.
-            r1 = min(int(np.searchsorted(indptr, indptr[r0] + edge_block)), n)
-            r1 = max(r1, r0 + 1)
+            # Node-range block whose CSR span stays <= edge_block rows
+            # (side="right" - 1 = last node whose span still fits; a single
+            # node wider than edge_block gets its own block via the max).
+            r1 = int(
+                np.searchsorted(indptr, indptr[r0] + edge_block, side="right")
+            ) - 1
+            r1 = max(min(r1, n), r0 + 1)
             s0, s1 = int(indptr[r0]), int(indptr[r1])
             rows = feats[edge_dst[s0:s1]].astype(np.float32)
             # Pad one zero row so empty trailing segments index in-range;
@@ -446,6 +458,9 @@ def with_cached_layer0(
     if dtype is None:
         dtype = jnp.float32 if quantized else feats.dtype
     e_pad = graph.edge_dst.shape[0]
+    # Never pad PAST the edge list: a small graph must not pay a full
+    # edge_block of zero-slot gathers (50K slots would round to 2M).
+    edge_block = max(min(edge_block, e_pad), 1)
     nblk = max(-(-e_pad // edge_block), 1)
     pad_to = nblk * edge_block
     extra = pad_to - e_pad

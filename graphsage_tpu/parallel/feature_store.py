@@ -696,13 +696,14 @@ def sharded_comm_stats(
         table_dtype = model.compute_dtype or feature_dtype
         row_bytes = model.hidden_dims[0] * jnp.dtype(table_dtype).itemsize
     elif model.layer0 == "cached":
-        # Gather site(s) read F-wide frozen-aggregate rows (built in the
-        # compute dtype; quantized graphs quantize the cache too).
+        # Gather site(s) read F-wide frozen-aggregate rows. The cache is
+        # built in the FEATURE dtype (with_cached_layer0's default — bf16
+        # features keep a bf16 cache, f32 stay f32 regardless of
+        # compute_dtype); quantized graphs quantize the cache too.
         if quantized:
             row_bytes = model.in_dim + 4
         else:
-            table_dtype = model.compute_dtype or feature_dtype
-            row_bytes = model.in_dim * jnp.dtype(table_dtype).itemsize
+            row_bytes = model.in_dim * jnp.dtype(feature_dtype).itemsize
     elif model.injected_layer0_project_first(quantized):
         row_bytes = model.hidden_dims[0] * 4  # projected table is f32
     elif quantized:
@@ -1002,6 +1003,18 @@ class ShardedFeatureTrainer(Trainer):
             graph = with_cached_layer0(
                 graph, self_loop=model.self_loop,
                 quantize=is_quantized(graph.features),
+            )
+        elif model.layer0 == "cached" and bool(
+            graph.layer0_cache_self_loop
+        ) != bool(model.self_loop):
+            # A pre-built cache bypasses forward's flavor check (the table
+            # is injected via _layer0_table_fn, not read off the graph) —
+            # validate here or train silently with wrong-flavor aggregates.
+            raise ValueError(
+                "graph.layer0_cache was built with self_loop="
+                f"{graph.layer0_cache_self_loop} but the model has "
+                f"self_loop={model.self_loop} — rebuild the cache with the "
+                "matching flavor"
             )
         # The source graph (host numpy or device) feeds the host-side
         # sharding splits and the transient full-graph eval fallback; the
@@ -1904,6 +1917,11 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
             edge_dst=np.zeros((1,), np.int32),
             edge_src=np.zeros((1,), np.int32),
             edge_mask=np.zeros((1,), bool),
+            # The frozen-aggregate cache is graph-sized too — it lives ONLY
+            # in the sharded store riding adjacency_shards, never here (a
+            # replicated [N, F] device copy would defeat the whole N/S
+            # residency contract).
+            layer0_cache=None,
         )
         return blanked.to_device()
 

@@ -75,9 +75,15 @@ class Trainer:
         if model.layer0 == "cached" and graph.layer0_cache is None:
             # One-time build of the frozen deepest-hop aggregate table
             # (exact — quirk Q12 + mean linearity; see with_cached_layer0).
+            # int8 graphs keep an int8 cache — a dense f32 cache would be
+            # 4x the table quantize_graph exists to shrink.
             from graphsage_tpu.data.graph import with_cached_layer0
+            from graphsage_tpu.ops.quantize import is_quantized
 
-            graph = with_cached_layer0(graph, self_loop=model.self_loop)
+            graph = with_cached_layer0(
+                graph, self_loop=model.self_loop,
+                quantize=is_quantized(graph.features),
+            )
         # Subclasses override _place_graph to control what (if anything) of
         # the graph becomes device-resident; the base trainer wants the
         # whole pytree on device (host graphs are placed once here).

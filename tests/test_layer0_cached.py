@@ -462,3 +462,67 @@ def test_cached_hub_cache_guards(graph):
             _model(graph, layer0="cached"), gq, cfg, mesh,
             gather_mode="compact", hub_cache_rows=8,
         )
+
+
+def test_cached_review_regressions(graph):
+    """Round-5 review findings, pinned:
+
+    1. FullyShardedTrainer must NOT device-place the full [N, F] cache
+       (only the shard stacks riding adjacency_shards).
+    2. A pre-built wrong-self_loop-flavor cache must be rejected at
+       sharded-trainer construction (forward's check is bypassed by the
+       injected table).
+    3. The base Trainer's auto-build keeps an int8 cache for int8 graphs.
+    4. with_cached_layer0 idempotency rejects a quantize mismatch instead
+       of silently returning the dense cache.
+    5. sharded_comm_stats prices cached rows in the FEATURE dtype (the
+       cache build dtype), not compute_dtype.
+    """
+    import jax.numpy as jnp
+
+    from graphsage_tpu.ops.quantize import is_quantized
+    from graphsage_tpu.parallel.feature_store import (
+        FullyShardedTrainer,
+        ShardedFeatureTrainer,
+        sharded_comm_stats,
+    )
+    from graphsage_tpu.parallel.mesh import make_mesh
+
+    gh = graph.to_host()
+    model = _model(graph, layer0="cached")
+    cfg = TrainConfig(batch_size=32, num_steps=1, test_size=60, val_size=60,
+                      log_every=0, eval_fanouts=(4, 4))
+    mesh = make_mesh({"data": 8})
+
+    # 1. no replicated cache on the fully-sharded device payload
+    fully = FullyShardedTrainer(model, gh, cfg, mesh, capacity_slack=8.0)
+    assert fully.graph.layer0_cache is None
+
+    # 2. wrong flavor rejected at construction
+    g_loop = with_cached_layer0(gh, self_loop=True)
+    with pytest.raises(ValueError, match="self_loop"):
+        ShardedFeatureTrainer(model, g_loop, cfg, mesh)
+
+    # 3. auto-build keeps int8 caches int8
+    tr = Trainer(model, quantize_graph(gh).to_device(), cfg)
+    assert is_quantized(tr.graph.layer0_cache)
+
+    # 4. idempotency quantize-mismatch guard
+    with pytest.raises(ValueError, match="quantize"):
+        with_cached_layer0(with_cached_layer0(gh), quantize=True)
+
+    # 5. comm stats use the feature dtype for cached rows (dense volume is
+    # pure row bytes, so f32 rows are exactly 2x bf16 rows; compact adds
+    # id traffic on top)
+    mc = dataclasses.replace(model, compute_dtype=jnp.bfloat16)
+    f32 = sharded_comm_stats(mc, 32, 8, feature_dtype=jnp.float32)
+    bf16 = sharded_comm_stats(mc, 32, 8, feature_dtype=jnp.bfloat16)
+    # before the fix both calls priced rows at compute_dtype (bf16) and
+    # returned identical volumes; the delta is exactly 2 bytes per feature
+    # per exchanged row slot
+    delta = (f32["gather_dense_bytes_per_chip_step"]
+             - bf16["gather_dense_bytes_per_chip_step"])
+    assert delta > 0 and delta % (2 * graph.num_features) == 0
+    assert f32["gather_compact_bytes_per_chip_step"] > (
+        bf16["gather_compact_bytes_per_chip_step"]
+    )
