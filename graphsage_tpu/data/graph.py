@@ -339,7 +339,15 @@ def quantize_graph(graph: Graph) -> Graph:
     feats = graph.features
     if isinstance(feats, np.ndarray) and not feats.flags.c_contiguous:
         feats = np.ascontiguousarray(feats)
-    return graph.replace(features=quantize_features(feats))
+    # A pre-built layer0_cache is stale after quantization: the cached
+    # estimand would stay D^-1 A X while the sampled estimator targets
+    # D^-1 A dequant(X) — drop it so the trainers' auto-build recomputes
+    # (int8) from the quantized table instead of silently diverging.
+    return graph.replace(
+        features=quantize_features(feats),
+        layer0_cache=None,
+        layer0_cache_self_loop=False,
+    )
 
 
 def with_cached_layer0(
@@ -406,17 +414,31 @@ def with_cached_layer0(
     n, e = graph.num_nodes, graph.num_edges
 
     if graph.on_host:
-        feats = (
-            dense_host_view(graph.features)
-            if quantized
-            else np.asarray(graph.features)
-        )
-        if dtype is None:
-            dtype = np.float32 if quantized else feats.dtype
+        # Never materialize a full dense view of an int8 table (1 GB f32 at
+        # the 1M x 256 flagship — 4x what quantize_graph shrinks to):
+        # dequantize per block so the transient stays edge_block rows.
+        if quantized:
+            _q = np.asarray(graph.features.q)
+            _sc = np.asarray(graph.features.scale, np.float32)
+            f = _q.shape[1]
+
+            def _rows(idx):
+                return _q[idx].astype(np.float32) * _sc[idx]
+
+            if dtype is None:
+                dtype = np.float32
+        else:
+            feats = np.asarray(graph.features)
+            f = feats.shape[1]
+
+            def _rows(idx):
+                return feats[idx].astype(np.float32)
+
+            if dtype is None:
+                dtype = feats.dtype
         indptr = np.asarray(graph.indptr)
         edge_dst = np.asarray(graph.edge_dst)
         deg = np.asarray(graph.degrees).astype(np.float32)
-        f = feats.shape[1]
         out = np.zeros((n, f), np.float32)
         r0 = 0
         while r0 < n:
@@ -428,7 +450,7 @@ def with_cached_layer0(
             ) - 1
             r1 = max(min(r1, n), r0 + 1)
             s0, s1 = int(indptr[r0]), int(indptr[r1])
-            rows = feats[edge_dst[s0:s1]].astype(np.float32)
+            rows = _rows(edge_dst[s0:s1])
             # Pad one zero row so empty trailing segments index in-range;
             # np.add.reduceat returns garbage for empty segments (it yields
             # a[start]), which the degree-0 zeroing below overwrites.
@@ -438,7 +460,7 @@ def with_cached_layer0(
             blk_deg = deg[r0:r1]
             sums[blk_deg == 0] = 0.0
             if self_loop:
-                out[r0:r1] = (sums + feats[r0:r1].astype(np.float32)) / (
+                out[r0:r1] = (sums + _rows(slice(r0, r1))) / (
                     blk_deg[:, None] + 1.0
                 )
             else:

@@ -1241,13 +1241,8 @@ class ShardedFeatureTrainer(Trainer):
         boundary exchange)."""
         model = self.model
         if model.layer0 == "cached":
-            # Params-independent: the payload IS the local table slice
-            # (dense [Np, F], or int8 q + scale leaves).
-            leaves = tuple(a[0] for a in payload_local)
-            table = (
-                QuantizedTable(*leaves) if self._cache_quantized else leaves[0]
-            )
-            return lambda p, feats: table
+            # Params-independent: the payload IS the local table slice.
+            return self._cache_table_fn(tuple(a[0] for a in payload_local))
         if model.layer0 != "full":
             return None
         if self.layer0_exchange == "halo":
@@ -1603,6 +1598,17 @@ class ShardedFeatureTrainer(Trainer):
             "compact-only)."
         )
 
+    def _cache_table_fn(self, leaves):
+        """``layer0="cached"`` table closure from this shard's cache-store
+        leaves — THE place that encodes the payload leaf order (one dense
+        ``[Np, F]`` leaf, or the QuantizedTable ``(q, scale)`` pair). Both
+        trainer tiers reconstruct through here so a layout change cannot
+        silently mis-assemble the table in only one of them."""
+        table = (
+            QuantizedTable(*leaves) if self._cache_quantized else leaves[0]
+        )
+        return lambda p, feats: table
+
     def memory_stats(self) -> dict:
         """Theoretical per-chip layout PLUS measured live device bytes
         (``jax.live_arrays()``) — the claim and the machine's answer side
@@ -1615,7 +1621,7 @@ class ShardedFeatureTrainer(Trainer):
         hub_bytes = sum(
             int(np.prod(a.shape)) * a.dtype.itemsize for a in self.hub_leaves
         )
-        return {
+        stats = {
             **self.features.memory_stats(),
             "hub_cache_rows": self.hub_cache_rows,
             "hub_cache_bytes_per_chip": hub_bytes,
@@ -1623,6 +1629,20 @@ class ShardedFeatureTrainer(Trainer):
             "measured_largest_buffer_bytes": measured["largest_buffer_bytes"],
             "measured_per_device_bytes": measured["per_device_bytes"],
         }
+        if getattr(self, "_cache_store", None) is not None:
+            # layer0="cached": the frozen-aggregate shard store is a second
+            # graph-sized per-chip table — count it or the claimed per-chip
+            # residency understates ~2x (docs/DISTRIBUTED.md points users
+            # here for capacity planning).
+            cache_b = self._cache_store.memory_stats()[
+                "feature_bytes_per_chip"
+            ]
+            stats["layer0_cache_bytes_per_chip"] = cache_b
+            stats["feature_bytes_per_chip"] += cache_b
+            stats["feature_bytes_replicated"] += self._cache_store.memory_stats()[
+                "feature_bytes_replicated"
+            ]
+        return stats
 
 
 # ---------------------------------------------------------------------------
@@ -1934,11 +1954,7 @@ class FullyShardedTrainer(ShardedFeatureTrainer):
         (params-independent) table slice from the leaves after the 4
         adjacency ones instead."""
         if self.model.layer0 == "cached":
-            leaves = adj_local[4:]
-            table = (
-                QuantizedTable(*leaves) if self._cache_quantized else leaves[0]
-            )
-            return lambda p, feats: table
+            return self._cache_table_fn(adj_local[4:])
         if self.model.layer0 != "full":
             return None
         _ell, deg, indptr, edge_dst = adj_local[:4]

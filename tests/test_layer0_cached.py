@@ -526,3 +526,38 @@ def test_cached_review_regressions(graph):
     assert f32["gather_compact_bytes_per_chip_step"] > (
         bf16["gather_compact_bytes_per_chip_step"]
     )
+
+
+def test_cached_review_regressions_round2(graph):
+    """Second review pass, pinned:
+
+    1. quantize_graph DROPS a pre-built cache (it was computed from the
+       un-quantized features — the cached==sampled contract would silently
+       break; the auto-build recomputes int8 from the quantized table).
+    2. memory_stats counts the cache shard store (a second graph-sized
+       per-chip table) in the claimed residency.
+    """
+    from graphsage_tpu.ops.quantize import is_quantized
+    from graphsage_tpu.parallel.feature_store import ShardedFeatureTrainer
+    from graphsage_tpu.parallel.mesh import make_mesh
+
+    gh = graph.to_host()
+
+    # 1. stale-cache drop
+    gq = quantize_graph(with_cached_layer0(gh))
+    assert gq.layer0_cache is None
+    assert is_quantized(gq.features)
+
+    # 2. cached-mode residency accounting
+    model = _model(graph, layer0="cached")
+    cfg = TrainConfig(batch_size=32, num_steps=1, test_size=60, val_size=60,
+                      log_every=0, eval_fanouts=(4, 4))
+    mesh = make_mesh({"data": 8})
+    plain = ShardedFeatureTrainer(_model(graph), gh, cfg, mesh)
+    cached = ShardedFeatureTrainer(model, gh, cfg, mesh)
+    sp, sc = plain.memory_stats(), cached.memory_stats()
+    assert "layer0_cache_bytes_per_chip" not in sp
+    assert sc["layer0_cache_bytes_per_chip"] > 0
+    assert sc["feature_bytes_per_chip"] == (
+        sp["feature_bytes_per_chip"] + sc["layer0_cache_bytes_per_chip"]
+    )
