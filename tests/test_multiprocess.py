@@ -281,6 +281,22 @@ WORKER = textwrap.dedent(
     p2 = np.asarray(full.predict(s2, full.val_nodes))
     assert (p1 == p2).all(), (p1, p2)
 
+    # layer0="cached" across the REAL process boundary (round 5): the
+    # frozen-aggregate shards ride adjacency_shards and the table gathers
+    # route cross-process; losses must still match the single-device
+    # trainer exactly at covering fanouts.
+    import dataclasses as _dc
+    cmodel = _dc.replace(fmodel, layer0="cached")
+    csingle = Trainer(cmodel, g, fcfg)
+    cfull = FullyShardedTrainer(cmodel, g, fcfg, mesh, capacity_slack=8.0)
+    cs1, cs2 = csingle.init_state(), cfull.init_state()
+    cit1, cit2 = csingle.batches(), cfull.batches()
+    for step_i in range(2):
+        cs1, cl1 = csingle.step(cs1, next(cit1))
+        cs2, cl2 = cfull.step(cs2, next(cit2))
+        cl2 = float(np.asarray(jax.device_get(cl2)))
+        assert abs(float(cl1) - cl2) < 1e-5, ("cached", step_i, float(cl1), cl2)
+
     print(f"proc {pid} OK local_loss={local_loss:.6f} dp_loss={dp_loss:.6f}",
           flush=True)
     """
