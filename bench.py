@@ -537,6 +537,29 @@ def main() -> None:
             pubmed_l0["edges_per_step"] / pubmed_l0["sec_per_step"]
         )
 
+    # Cached layer-0 at the reference's own scale (preset
+    # pubmed_layer0_cached): the 256K-row deepest-hop gather, its backward
+    # scatter (the §5.1 floor) and the sampling hop all vanish; the 39 MB
+    # cache gathers in the fast region. Measured round 5: 3.62 -> 0.38 ms
+    # (9.4x), identical converged loss.
+    def _pubmed_cached_row():
+        from graphsage_tpu.data.graph import with_cached_layer0
+
+        gc = with_cached_layer0(pubmed_graph)
+        row = _measure(
+            gc, _dc0.replace(
+                GraphSAGE(in_dim=500, num_classes=3, hidden_dims=(128, 128),
+                          fanouts=(10, 25)), layer0="cached"),
+            batch=1024, steps_per_block=200, blocks=2)
+        if "error" not in pubmed:
+            row["step_speedup_vs_exact"] = round(
+                pubmed["sec_per_step"] / row["sec_per_step"], 3)
+            row["exact_equivalent_edges_per_s"] = (
+                pubmed["edges_per_step"] / row["sec_per_step"])
+        return row
+
+    pubmed_cached = _try_row(_pubmed_cached_row, "pubmed_layer0_cached")
+
     # LSTM aggregator on the Cora shape (the paper's third aggregator —
     # models/layers.masked_lstm): k sequential [B,H]x[H,4H] recurrent
     # matmuls per layer, input projection hoisted to one MXU pass. Adam —
@@ -574,6 +597,7 @@ def main() -> None:
         "powerlaw_1m_layer0_cached": 0.8,
         "fullbatch_powerlaw_100k_2m_slots_2layer": 0.8,     # ln(16)=2.77
         "pubmed_layer0_full": 0.2,
+        "pubmed_layer0_cached": 0.2,
         "cora_lstm": 0.5,            # ln(7)=1.95; CPU measured 1e-5 by
                                      # step 150 (adam lr 0.005)
         # Sharded trainers on the {data:1} mesh train the same math as the
@@ -597,6 +621,7 @@ def main() -> None:
         "powerlaw_1m_layer0_cached": powerlaw_1m_c,
         "fullbatch_powerlaw_100k_2m_slots_2layer": fullbatch,
         "pubmed_layer0_full": pubmed_l0,
+        "pubmed_layer0_cached": pubmed_cached,
         "cora_lstm": cora_lstm,
         "cora_sharded_feature_dense_1chip": sharded_rows["dense"],
         "cora_sharded_feature_compact_1chip": sharded_rows["compact"],
