@@ -325,6 +325,43 @@ def test_unsupervised_sharded_layer0_full_matches_single_chip():
     )
 
 
+def test_unsupervised_cached_layer0_matches_full():
+    """layer0='cached' composes with the unsupervised objective: the
+    graph-context loss over cached-layer0 embeddings equals the
+    layer0='full' loss exactly (same estimand, same RNG stream) on both
+    the single-chip and the node-sharded trainer."""
+    import dataclasses
+
+    from graphsage_tpu.data.graph import with_cached_layer0
+    from graphsage_tpu.parallel.mesh import make_mesh
+    from graphsage_tpu.train.unsupervised import UnsupervisedShardedTrainer
+
+    g, model = _small_setup()
+    model = dataclasses.replace(
+        model, layer0="full", gather_impl="take", matmul_precision="highest"
+    )
+    cached_model = dataclasses.replace(model, layer0="cached")
+    gc = with_cached_layer0(g)
+    cfg = TrainConfig(
+        batch_size=32, num_steps=3, optimizer="adam", learning_rate=0.01,
+        objective="unsupervised", walk_length=3, num_negatives=6,
+        test_size=40, val_size=40, log_every=0,
+    )
+    full = UnsupervisedTrainer(model, g, cfg)
+    cached = UnsupervisedTrainer(cached_model, gc, cfg)
+    sharded = UnsupervisedShardedTrainer(
+        cached_model, gc.to_host(), cfg, make_mesh({"data": 8})
+    )
+    s1, s2, s3 = full.init_state(), cached.init_state(), sharded.init_state()
+    it1, it2, it3 = full.batches(), cached.batches(), sharded.batches()
+    for _step in range(cfg.num_steps):
+        s1, l1 = full.step(s1, next(it1))
+        s2, l2 = cached.step(s2, next(it2))
+        s3, l3 = sharded.step(s3, next(it3))
+        np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(float(l3), float(l2), rtol=1e-5, atol=1e-6)
+
+
 # ------------------------------------------------------------ fully sharded
 def test_sharded_random_walk_matches_replicated_when_deterministic():
     """On a perfect matching (every node degree 1) the walk step has no
