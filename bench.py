@@ -547,9 +547,7 @@ def main() -> None:
 
         gc = with_cached_layer0(pubmed_graph)
         row = _measure(
-            gc, _dc0.replace(
-                GraphSAGE(in_dim=500, num_classes=3, hidden_dims=(128, 128),
-                          fanouts=(10, 25)), layer0="cached"),
+            gc, _dc0.replace(pubmed_model_full, layer0="cached"),
             batch=1024, steps_per_block=200, blocks=2)
         if "error" not in pubmed:
             row["step_speedup_vs_exact"] = round(

@@ -343,6 +343,15 @@ def quantize_graph(graph: Graph) -> Graph:
     # estimand would stay D^-1 A X while the sampled estimator targets
     # D^-1 A dequant(X) — drop it so the trainers' auto-build recomputes
     # (int8) from the quantized table instead of silently diverging.
+    if graph.layer0_cache is not None:
+        import warnings
+
+        warnings.warn(
+            "quantize_graph: dropping the pre-built layer0_cache (it was "
+            "computed from the un-quantized features); the trainers will "
+            "rebuild it int8 — quantize FIRST to pay the build once",
+            stacklevel=2,
+        )
     return graph.replace(
         features=quantize_features(feats),
         layer0_cache=None,
@@ -384,7 +393,6 @@ def with_cached_layer0(
     Idempotent per ``self_loop`` flavor.
     """
     from graphsage_tpu.ops.quantize import (
-        dense_host_view,
         dequantize,
         gather_dequant,
         is_quantized,

@@ -1634,14 +1634,10 @@ class ShardedFeatureTrainer(Trainer):
             # graph-sized per-chip table — count it or the claimed per-chip
             # residency understates ~2x (docs/DISTRIBUTED.md points users
             # here for capacity planning).
-            cache_b = self._cache_store.memory_stats()[
-                "feature_bytes_per_chip"
-            ]
-            stats["layer0_cache_bytes_per_chip"] = cache_b
-            stats["feature_bytes_per_chip"] += cache_b
-            stats["feature_bytes_replicated"] += self._cache_store.memory_stats()[
-                "feature_bytes_replicated"
-            ]
+            cm = self._cache_store.memory_stats()
+            stats["layer0_cache_bytes_per_chip"] = cm["feature_bytes_per_chip"]
+            stats["feature_bytes_per_chip"] += cm["feature_bytes_per_chip"]
+            stats["feature_bytes_replicated"] += cm["feature_bytes_replicated"]
         return stats
 
 
