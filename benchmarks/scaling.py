@@ -34,6 +34,10 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=1024)
     parser.add_argument("--fanouts", type=int, nargs="+", default=[10, 10])
     parser.add_argument("--reps", type=int, default=20)
+    parser.add_argument("--layer0", choices=("sampled", "full", "cached"),
+                        default="sampled",
+                        help="layer-0 formulation (the trainer auto-builds "
+                        "the aggregate cache for 'cached')")
     args = parser.parse_args()
 
     if args.force_cpu:
@@ -66,6 +70,7 @@ def main() -> None:
         in_dim=args.feats, num_classes=16,
         hidden_dims=tuple(128 for _ in args.fanouts),
         fanouts=tuple(args.fanouts),
+        layer0=args.layer0,
     )
     frontier = model.sample(
         jax.random.PRNGKey(0), graph, jnp.zeros(args.batch, jnp.int32)

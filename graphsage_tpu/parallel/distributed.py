@@ -205,9 +205,13 @@ class ShardedTrainer(Trainer):
                 f"batch_size {config.batch_size} must divide over data axis "
                 f"size {mesh.shape[data_axis]}"
             )
-        self._graph_sharding = graph_shardings(mesh, graph, self.model_axis)
+        # Re-place the PARENT-prepared graph (not the raw argument): the
+        # base __init__ may have attached the auto-built layer0 cache —
+        # resharding the raw arg would silently drop it.
+        prepared = self.graph
+        self._graph_sharding = graph_shardings(mesh, prepared, self.model_axis)
         self._seed_sharding = named(mesh, data_axis)
-        self.graph = jax.device_put(graph, self._graph_sharding)
+        self.graph = jax.device_put(prepared, self._graph_sharding)
         self._jit_step = None  # built lazily once params exist
 
     def _state_shardings(self, state: TrainState):

@@ -178,3 +178,29 @@ def test_sharded_trainer_tp_parity_when_dims_collide(graph):
         s_state, l1 = single.step(s_state, next(it1))
         d_state, l2 = sharded.step(d_state, next(it2))
         np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+
+
+def test_sharded_trainer_cached_layer0_parity(graph):
+    """DP+TP with layer0='cached': the trainer must re-place the PARENT-
+    prepared graph (which carries the auto-built aggregate cache), not the
+    raw argument — round-5 regression where the resharding dropped the
+    cache and the first step raised. Exact loss parity vs single device."""
+    import dataclasses
+
+    model = GraphSAGE(in_dim=graph.num_features, num_classes=graph.num_classes,
+                      hidden_dims=(8, 8), fanouts=(4, 4), layer0="cached",
+                      matmul_precision="highest", gather_impl="take")
+    cfg = TrainConfig(batch_size=32, num_steps=3, learning_rate=0.5,
+                      test_size=40, val_size=40, log_every=0,
+                      eval_fanouts=(4, 4))
+    single = Trainer(model, graph, cfg)
+    for mesh_spec in ({"data": 8}, {"data": 2, "model": 4}):
+        sharded = ShardedTrainer(model, graph, cfg, make_mesh(mesh_spec))
+        assert sharded.graph.layer0_cache is not None
+        s1, s2 = single.init_state(), sharded.init_state()
+        it1, it2 = single.batches(), sharded.batches()
+        for _ in range(cfg.num_steps):
+            s1, l1 = single.step(s1, next(it1))
+            s2, l2 = sharded.step(s2, next(it2))
+            np.testing.assert_allclose(float(l1), float(l2),
+                                       rtol=1e-5, atol=1e-6)
