@@ -44,6 +44,11 @@ MODES = [
     dict(aggregator="mean", self_loop=True, layer0="full"),
     dict(aggregator="maxpool", pool_dim=12, layer0="full"),
     dict(aggregator="maxpool", pool_dim=12, self_loop=True, layer0="full"),
+    # Cached layer 0 holds the same exactness with full neighborhoods (the
+    # cache IS the full-neighborhood mean) — mean-only by construction.
+    dict(aggregator="mean", layer0="cached"),
+    dict(aggregator="mean", concat_self=True, layer0="cached"),
+    dict(aggregator="mean", self_loop=True, layer0="cached"),
 ]
 
 
@@ -55,20 +60,27 @@ def test_sampled_no_fanout_equals_full_graph(graph, mode):
         hidden_dims=(16, 16), fanouts=(None, None),
         matmul_precision="highest", gather_impl="take", **mode,
     )
+    g = graph
+    if mode.get("layer0") == "cached":
+        from graphsage_tpu.data.graph import with_cached_layer0
+
+        g = with_cached_layer0(graph, self_loop=mode.get("self_loop", False))
     params = model.init(jax.random.PRNGKey(11))
-    full = model.forward_full_graph(params, graph)
+    full = model.forward_full_graph(params, g)
     frontier = model.sample(
-        jax.random.PRNGKey(12), graph, jnp.arange(graph.num_nodes, dtype=jnp.int32)
+        jax.random.PRNGKey(12), g, jnp.arange(g.num_nodes, dtype=jnp.int32)
     )
-    fwd_kwargs = {"graph": graph} if mode.get("layer0") == "full" else {}
-    sampled = model.forward(params, graph.features, frontier, **fwd_kwargs)
+    fwd_kwargs = (
+        {"graph": g} if mode.get("layer0") in ("full", "cached") else {}
+    )
+    sampled = model.forward(params, g.features, frontier, **fwd_kwargs)
     np.testing.assert_allclose(
         np.asarray(sampled), np.asarray(full), rtol=1e-4, atol=1e-5
     )
     # Embeddings agree the same way.
-    emb_s = model.forward(params, graph.features, frontier,
+    emb_s = model.forward(params, g.features, frontier,
                           return_embeddings=True, **fwd_kwargs)
-    emb_f = model.embed_full_graph(params, graph)
+    emb_f = model.embed_full_graph(params, g)
     np.testing.assert_allclose(
         np.asarray(emb_s), np.asarray(emb_f), rtol=1e-4, atol=1e-5
     )
